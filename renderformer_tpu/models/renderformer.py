@@ -20,6 +20,7 @@ from renderformer_tpu.encodings.nerf import nerf_encode, nerf_out_dim
 from renderformer_tpu.nn.attention import TransformerEncoder
 from renderformer_tpu.nn.core import apply_norm, dense, dense_init, norm_init
 from renderformer_tpu.models.view_transformer import ViewTransformer
+from renderformer_tpu.parallel.sharding import constrain
 
 
 @dataclass(frozen=True)
@@ -162,8 +163,10 @@ class RenderFormer:
 
         seq, mask_padded, rope_pos = self.construct_seq(
             params, tri_vpos, texture_patches, valid_mask, vns, dtype=dtype)
-        seq = self.encoder(params['transformer'], seq.astype(dtype),
+        seq = constrain(seq.astype(dtype), 'tokens')
+        seq = self.encoder(params['transformer'], seq,
                            mask=mask_padded, triangle_pos=rope_pos, impl=impl)
+        seq = constrain(seq, 'tokens')
 
         b, v = rays_o.shape[0], rays_o.shape[1]
         n_tok = seq.shape[1]

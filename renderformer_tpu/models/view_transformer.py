@@ -17,6 +17,7 @@ from renderformer_tpu.encodings.nerf import nerf_encode, nerf_out_dim
 from renderformer_tpu.nn.attention import TransformerDecoder
 from renderformer_tpu.nn.core import apply_norm, dense, dense_init, elu, norm_init
 from renderformer_tpu.nn.dpt import DPTHead
+from renderformer_tpu.parallel.sharding import constrain
 
 
 @dataclass(frozen=True)
@@ -111,6 +112,7 @@ class ViewTransformer:
         ray_tokens = params['ray_map_patch_token'].astype(dtype) + apply_norm(
             cfg.norm_type, params['ray_map_encoder_norm'],
             dense(params['ray_map_encoder'], x))
+        ray_tokens = constrain(ray_tokens, 'ray_tokens')
         n_patches = ray_tokens.shape[1]
 
         # RoPE position of ray tokens: camera origin tiled x3 -> 9 coords
@@ -137,7 +139,7 @@ class ViewTransformer:
             img = self.dpt(params['out_dpt'],
                            [t.astype(jnp.float32) for t in taps],
                            patch_h, patch_w, patch_size=p)
-            return elu(img, alpha=1e-3)
+            return constrain(elu(img, alpha=1e-3), 'image')
         # linear head: unpatchify
         dec = elu(dense(params['out_proj'], seq), alpha=1e-3)
         od = cfg.out_dim

@@ -63,8 +63,13 @@ def sdpa_xla(q, k, v, mask=None):
 
 
 def attend(q, k, v, mask=None, impl: str = 'xla'):
-    """Dispatch to the configured attention backend."""
-    if impl == 'flash':
+    """Dispatch to the configured attention backend.
+
+    The flash kernel handles key-padding masks ([B, Sk] or [B, 1, 1, Sk]);
+    full [q, k] masks (Swin shifted windows) stay on the XLA path — windows
+    are 64 tokens, where a flash kernel has nothing to win."""
+    if impl == 'flash' and not (
+            mask is not None and mask.ndim == 4 and mask.shape[2] != 1):
         from renderformer_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v, mask=mask)
     return sdpa_xla(q, k, v, mask=mask)

@@ -1,0 +1,102 @@
+"""Pallas flash-attention parity vs the XLA reference path (interpret mode
+on CPU; the same kernel compiles on TPU). Forward and gradients, masked
+and unmasked, self- and cross-shaped (SURVEY.md §4 item 2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from renderformer_tpu.nn.attention import sdpa_xla
+from renderformer_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(rng, b, h, sq, sk, d, dtype=jnp.float32):
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(b, h, sk, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(b, h, sk, d)), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize('sq,sk', [(64, 64), (128, 80), (96, 256)])
+def test_forward_parity_masked(sq, sk):
+    rng = np.random.default_rng(0)
+    b, h, d = 2, 3, 64
+    q, k, v = _rand_qkv(rng, b, h, sq, sk, d)
+    mask = jnp.asarray(rng.uniform(size=(b, sk)) > 0.3)
+    mask = mask.at[:, 0].set(True)  # at least one valid key
+
+    want = sdpa_xla(q, k, v, mask[:, None, None, :])
+    got = flash_attention(q, k, v, mask, bq=64, bk=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_forward_parity_unmasked():
+    rng = np.random.default_rng(1)
+    q, k, v = _rand_qkv(rng, 1, 2, 128, 128, 32)
+    want = sdpa_xla(q, k, v, None)
+    got = flash_attention(q, k, v, None, bq=64, bk=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_gradients_match_xla():
+    rng = np.random.default_rng(2)
+    b, h, sq, sk, d = 1, 2, 64, 96, 32
+    q, k, v = _rand_qkv(rng, b, h, sq, sk, d)
+    mask = jnp.asarray(rng.uniform(size=(b, sk)) > 0.3).at[:, 0].set(True)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(
+            flash_attention(q, k, v, mask, bq=64, bk=64, interpret=True)))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.square(sdpa_xla(q, k, v, mask[:, None, None, :])))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_bf16_forward():
+    rng = np.random.default_rng(3)
+    q, k, v = _rand_qkv(rng, 1, 2, 128, 144, 64, dtype=jnp.bfloat16)
+    mask = jnp.ones((1, 144), bool).at[:, 100:].set(False)
+    want = sdpa_xla(q, k, v, mask[:, None, None, :])
+    got = flash_attention(q, k, v, mask, bq=64, bk=64, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2)
+
+
+def test_model_forward_flash_vs_xla():
+    """Whole-model forward with impl='flash' (interpret) vs impl='xla'."""
+    from renderformer_tpu.config import RenderFormerConfig
+    from renderformer_tpu.models.renderformer import RenderFormer
+
+    cfg = RenderFormerConfig(
+        latent_dim=72, num_layers=2, num_heads=2, dim_feedforward=144,
+        num_register_tokens=4, vertex_pe_num_freqs=4,
+        view_transformer_latent_dim=72, view_transformer_ffn_hidden_dim=144,
+        view_transformer_n_heads=2, view_transformer_n_layers=4,
+        dpt_features=16, dpt_out_channels=[8, 16, 32, 64])
+    model = RenderFormer(cfg)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    b, n, v, res = 1, 8, 1, 32
+    args = (
+        jnp.asarray(rng.normal(size=(b, n, 9)), jnp.float32) * 0.3,
+        jnp.asarray(rng.uniform(0, 1, (b, n, 13, 32, 32)), jnp.float32),
+        jnp.ones((b, n), bool).at[:, 6:].set(False),
+        jnp.asarray(rng.normal(size=(b, n, 9)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, v, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, v, res, res, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, v, n, 9)), jnp.float32) * 0.3,
+    )
+    out_xla = np.asarray(model(params, *args, impl='xla'))
+    out_flash = np.asarray(model(params, *args, impl='flash'))
+    np.testing.assert_allclose(out_flash, out_xla, atol=5e-5, rtol=1e-4)

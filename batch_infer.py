@@ -1,0 +1,106 @@
+"""Batch/video rendering CLI (parity with /root/reference/batch_infer.py).
+
+Renders a folder of per-frame H5 scenes with static-shape padding (the
+TPU-friendly batching the reference already used for video), writes
+per-view EXR+PNG and an MP4.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description='Batch inference using triangle radiosity transformer (TPU)')
+    parser.add_argument('--h5_folder', type=str, required=True)
+    parser.add_argument('--model_id', type=str, default='v1-base')
+    parser.add_argument('--precision', type=str,
+                        choices=['bf16', 'fp16', 'fp32'], default='bf16')
+    parser.add_argument('--resolution', type=int, default=512)
+    parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--padding_length', type=int, default=None,
+                        help='Pad all scenes to this triangle count '
+                             '(required for batch_size > 1; enables a single '
+                             'compiled program across frames)')
+    parser.add_argument('--output_dir', type=str, default=None)
+    parser.add_argument('--save_video', action='store_true', default=True)
+    parser.add_argument('--fps', type=int, default=24)
+    parser.add_argument('--tone_mapper', type=str,
+                        choices=['none', 'agx', 'filmic', 'pbr_neutral'],
+                        default='none')
+    parser.add_argument('--attn_impl', type=str,
+                        choices=['auto', 'xla', 'flash'], default='auto')
+    parser.add_argument('--cpu', action='store_true')
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    from renderformer_tpu.io.h5 import SceneFolderDataset
+    from renderformer_tpu.io.image import write_exr, write_png, write_video
+    from renderformer_tpu.pipelines.rendering_pipeline import RenderingPipeline
+    from renderformer_tpu.utils.tone_map import ToneMapper
+
+    pipeline = RenderingPipeline.from_pretrained(
+        args.model_id, attn_impl=args.attn_impl)
+
+    tone_mapper = None
+    if args.tone_mapper != 'none':
+        tone_mapper = ToneMapper(args.tone_mapper)
+        print(f'Using {args.tone_mapper} tone mapper')
+
+    dataset = SceneFolderDataset(args.h5_folder, args.padding_length)
+    print(f'Found {len(dataset)} h5 files in {args.h5_folder}')
+    if len(dataset) == 0:
+        return 1
+    if args.batch_size > 1 and args.padding_length is None:
+        print('batch_size > 1 requires --padding_length; falling back to 1')
+        args.batch_size = 1
+
+    output_dir = args.output_dir or args.h5_folder
+    os.makedirs(output_dir, exist_ok=True)
+    video_frames = []
+
+    for batch in dataset.batches(args.batch_size):
+        rendered = np.asarray(pipeline.render(
+            triangles=batch['triangles'],
+            texture=batch['texture'],
+            mask=batch['mask'],
+            vn=batch['vn'],
+            c2w=batch['c2w'],
+            fov=batch['fov'][..., None],
+            resolution=args.resolution,
+            precision=args.precision,
+        ))
+
+        for i, file_path in enumerate(batch['file_paths']):
+            base = os.path.splitext(os.path.basename(file_path))[0]
+            for view_idx in range(rendered.shape[1]):
+                hdr = rendered[i, view_idx].astype(np.float32)
+                ldr = (tone_mapper.hdr_to_ldr(hdr) if tone_mapper
+                       else np.clip(hdr, 0, 1))
+                ldr_u8 = (ldr * 255).astype(np.uint8)
+                write_exr(os.path.join(
+                    output_dir, f'{base}_view_{view_idx}.exr'), hdr)
+                write_png(os.path.join(
+                    output_dir, f'{base}_view_{view_idx}.png'), ldr_u8)
+                if args.save_video:
+                    video_frames.append(ldr_u8)
+            print(f'Rendered {base}')
+
+    print(f'Output saved to: {output_dir}')
+    if args.save_video and video_frames:
+        video_path = os.path.join(output_dir, 'video.mp4')
+        write_video(video_path, video_frames, fps=args.fps)
+        print(f'Video saved to: {video_path}')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""HDF5 scene container IO.
+
+Field layout is byte-compatible with the reference
+(/root/reference/scene_processor/to_h5.py:87-92, infer.py:12-30):
+datasets ``triangles`` [N,3,3] f32, ``vn`` [N,3,3] f32, ``texture``
+[N,13,32,32] f16, ``c2w`` [V,4,4] f32, ``fov`` [V] f32.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Dict, List, Optional
+
+import h5py
+import numpy as np
+
+
+def load_scene_h5(file_path: str, padding_length: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Load one scene; optionally zero-pad triangles to ``padding_length``
+    with a validity mask (batch_infer.py:37-47)."""
+    with h5py.File(file_path, 'r') as f:
+        triangles = np.asarray(f['triangles'], dtype=np.float32)
+        texture = np.asarray(f['texture'], dtype=np.float32)
+        vn = np.asarray(f['vn'], dtype=np.float32)
+        c2w = np.asarray(f['c2w'], dtype=np.float32)
+        fov = np.asarray(f['fov'], dtype=np.float32)
+
+    num_tris = triangles.shape[0]
+    if padding_length is not None:
+        if padding_length < num_tris:
+            raise ValueError(
+                f'padding_length {padding_length} < triangle count {num_tris}')
+        pad = padding_length - num_tris
+        triangles = np.concatenate(
+            [triangles, np.zeros((pad,) + triangles.shape[1:], np.float32)])
+        texture = np.concatenate(
+            [texture, np.zeros((pad,) + texture.shape[1:], np.float32)])
+        vn = np.concatenate([vn, np.zeros((pad,) + vn.shape[1:], np.float32)])
+        mask = np.zeros(padding_length, dtype=bool)
+        mask[:num_tris] = True
+    else:
+        mask = np.ones(num_tris, dtype=bool)
+
+    return {'triangles': triangles, 'texture': texture, 'mask': mask,
+            'vn': vn, 'c2w': c2w, 'fov': fov}
+
+
+def save_scene_h5(path: str, triangles, vn, texture, c2w, fov) -> None:
+    """Write the reference H5 layout (gzip-9, to_h5.py:87-92)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, 'w') as f:
+        f.create_dataset('triangles', data=np.asarray(triangles, np.float32),
+                         compression='gzip', compression_opts=9)
+        f.create_dataset('vn', data=np.asarray(vn, np.float32),
+                         compression='gzip', compression_opts=9)
+        f.create_dataset('texture', data=np.asarray(texture, np.float16),
+                         compression='gzip', compression_opts=9)
+        f.create_dataset('c2w', data=np.asarray(c2w, np.float32),
+                         compression='gzip', compression_opts=9)
+        f.create_dataset('fov', data=np.asarray(fov, np.float32),
+                         compression='gzip', compression_opts=9)
+
+
+def _natural_key(s: str):
+    return [int(t) if t.isdigit() else t.lower()
+            for t in re.split(r'(\d+)', os.path.basename(s))]
+
+
+def list_scene_files(folder: str) -> List[str]:
+    """Natural-sorted *.h5 listing (batch_infer.py:19-20, natsort
+    equivalent without the dependency)."""
+    return sorted(glob.glob(os.path.join(folder, '*.h5')), key=_natural_key)
+
+
+class SceneFolderDataset:
+    """Iterable over a folder of per-frame H5 scenes with static-shape
+    padding — the video/batch-inference workload (batch_infer.py:17-58)."""
+
+    def __init__(self, folder: str, padding_length: Optional[int] = None):
+        self.files = list_scene_files(folder)
+        self.padding_length = padding_length
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        data = load_scene_h5(self.files[idx], self.padding_length)
+        data['file_path'] = self.files[idx]
+        return data
+
+    def batches(self, batch_size: int):
+        """Yield stacked batches (final partial batch included)."""
+        for start in range(0, len(self.files), batch_size):
+            items = [self[i] for i in range(
+                start, min(start + batch_size, len(self.files)))]
+            batch = {
+                k: np.stack([it[k] for it in items])
+                for k in ('triangles', 'texture', 'mask', 'vn', 'c2w', 'fov')
+            }
+            batch['file_paths'] = [it['file_path'] for it in items]
+            yield batch

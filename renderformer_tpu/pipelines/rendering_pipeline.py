@@ -98,8 +98,12 @@ class RenderingPipeline:
         or a named preset with random init (for testing)."""
         import os
         if os.path.isdir(model_id):
-            from renderformer_tpu.convert.torch_to_jax import load_pretrained
-            cfg, params = load_pretrained(model_id)
+            if os.path.exists(os.path.join(model_id, 'jax_format.json')):
+                from renderformer_tpu.training.checkpoint import import_params
+                cfg, params = import_params(model_id)
+            else:
+                from renderformer_tpu.convert.torch_to_jax import load_pretrained
+                cfg, params = load_pretrained(model_id)
             return cls(RenderFormer(cfg), params, **kw)
         if model_id in PRESETS:
             cfg = PRESETS[model_id]

@@ -1,0 +1,100 @@
+"""Training dataset: H5 scenes paired with ground-truth renderings.
+
+Parity with /root/reference/train.py:207-273 (RenderFormerDataset):
+scenes from ``h5_dir/*.h5``, GT images ``gt_dir/<stem>.png`` resized to
+``max_resolution``, zero-image fallback for missing GT (train.py:249-252).
+TPU-first: scenes are padded to a shared triangle bucket so every batch
+compiles once.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from renderformer_tpu.io.h5 import list_scene_files, load_scene_h5
+
+
+def _load_gt(path: str, resolution: int) -> np.ndarray:
+    import imageio
+    img = imageio.v3.imread(path)
+    img = np.asarray(img, np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    img = img[..., :3]
+    if img.shape[0] != resolution or img.shape[1] != resolution:
+        import cv2
+        img = cv2.resize(img, (resolution, resolution))
+    return img.astype(np.float32)
+
+
+class RenderFormerDataset:
+    """Scene + GT pairs with bucketed padding."""
+
+    def __init__(self, h5_dir: str, gt_dir: str, max_resolution: int = 256,
+                 padding_length: Optional[int] = None):
+        self.h5_files = list_scene_files(h5_dir)
+        self.gt_dir = gt_dir
+        self.max_resolution = max_resolution
+        if padding_length is None and self.h5_files:
+            # bucket to the max triangle count, rounded up to 128
+            counts = []
+            for f in self.h5_files:
+                import h5py
+                with h5py.File(f, 'r') as h:
+                    counts.append(h['triangles'].shape[0])
+            padding_length = int(np.ceil(max(counts) / 128) * 128)
+        self.padding_length = padding_length
+
+    def __len__(self):
+        return len(self.h5_files)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        h5_file = self.h5_files[idx]
+        data = load_scene_h5(h5_file, self.padding_length)
+        base = os.path.splitext(os.path.basename(h5_file))[0]
+        nv = data['c2w'].shape[0]
+
+        gt_path = os.path.join(self.gt_dir, f'{base}.png')
+        if os.path.exists(gt_path):
+            gt = _load_gt(gt_path, self.max_resolution)
+            gt_images = np.stack([gt] * nv)
+        else:
+            # zero-image fallback (train.py:249-252)
+            gt_images = np.zeros(
+                (nv, self.max_resolution, self.max_resolution, 3), np.float32)
+
+        return {
+            'triangles': data['triangles'],
+            'texture': data['texture'],
+            'mask': data['mask'],
+            'vn': data['vn'],
+            'c2w': data['c2w'],
+            'fov': data['fov'][:, None],
+            'gt': gt_images,
+        }
+
+    # ------------------------------------------------------------------
+    def split(self, train_frac: float = 0.8, seed: int = 42):
+        """Deterministic train/val split (train.py:659 random_split)."""
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(self))
+        n_train = int(len(self) * train_frac)
+        return order[:n_train].tolist(), order[n_train:].tolist()
+
+    def batches(self, indices: Sequence[int], batch_size: int,
+                shuffle: bool = True, seed: int = 0,
+                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        indices = list(indices)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(indices)
+        step = batch_size
+        end = len(indices) - (len(indices) % step if drop_last else 0)
+        for start in range(0, max(end, 0), step):
+            chunk = indices[start:start + step]
+            if not chunk:
+                continue
+            items = [self[i] for i in chunk]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}

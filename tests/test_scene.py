@@ -1,0 +1,166 @@
+"""Scene-ingestion tests: mesh ops, remesh (native), JSON->H5 conversion
+against the reference example scenes (SURVEY.md §4 item 5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from renderformer_tpu.scene.mesh import Mesh, concatenate, load_obj, save_obj
+from renderformer_tpu.scene.scene_config import load_scene_config
+from renderformer_tpu.scene.to_h5 import build_texture_patches, texture_patch_mask
+
+EXAMPLES = '/root/reference/examples'
+
+
+def _cube() -> Mesh:
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                  [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float)
+    f = np.array([
+        [0, 2, 1], [0, 3, 2],  # bottom (z=0, normal -z)
+        [4, 5, 6], [4, 6, 7],  # top
+        [0, 1, 5], [0, 5, 4],  # front
+        [1, 2, 6], [1, 6, 5],  # right
+        [2, 3, 7], [2, 7, 6],  # back
+        [3, 0, 4], [3, 4, 7],  # left
+    ])
+    return Mesh(v, f)
+
+
+def test_face_normals_cube():
+    m = _cube()
+    fn = m.face_normals()
+    np.testing.assert_allclose(fn[0], [0, 0, -1], atol=1e-12)
+    np.testing.assert_allclose(fn[2], [0, 0, 1], atol=1e-12)
+    np.testing.assert_allclose(np.linalg.norm(fn, axis=-1), 1.0)
+
+
+def test_unit_sphere_normalization():
+    m = _cube()
+    m.normalize_to_unit_sphere()
+    radii = np.linalg.norm(m.vertices, axis=-1)
+    np.testing.assert_allclose(radii.max(), 0.5, atol=1e-12)
+    np.testing.assert_allclose(m.vertices.mean(axis=0), 0, atol=1e-12)
+
+
+def test_rotation_scale_translation():
+    m = _cube()
+    m.apply_rotation_euler_deg([0, 0, 90])
+    # (1,0,0) -> (0,1,0)
+    np.testing.assert_allclose(m.vertices[1], [0, 1, 0], atol=1e-12)
+    m2 = _cube().apply_scale([2, 1, 1]).apply_translation([0, 0, 5])
+    np.testing.assert_allclose(m2.vertices[1], [2, 0, 5], atol=1e-12)
+
+
+def test_split_faces_flat_normals():
+    m = _cube().split_faces()
+    assert len(m.vertices) == 3 * len(m.faces)
+    np.testing.assert_allclose(m.vertex_normals[0], [0, 0, -1], atol=1e-12)
+
+
+def test_smooth_shading_splits_cube_corners():
+    """A cube with 30deg crease has all-sharp edges: smooth shading must
+    reproduce flat normals (each face group is a single face pair)."""
+    m = _cube().smooth_shaded(crease_angle_deg=30.0)
+    # each of the 6 planar sides is one smoothing group (2 coplanar faces)
+    # -> 4 distinct vertices per side
+    assert len(m.vertices) == 24
+    fn = m.face_normals()
+    cn = m.corner_normals()
+    np.testing.assert_allclose(cn, np.repeat(fn[:, None], 3, axis=1),
+                               atol=1e-9)
+
+
+def test_connected_components():
+    a, b = _cube(), _cube().apply_translation([5, 0, 0])
+    m = concatenate([a, b])
+    comps = m.connected_components()
+    assert len(comps) == 2
+    assert sorted(len(c) for c in comps) == [12, 12]
+
+
+def test_obj_roundtrip(tmp_path):
+    m = _cube()
+    m.compute_vertex_normals()
+    m.face_colors = np.random.default_rng(0).uniform(0, 1, (12, 3))
+    p = str(tmp_path / 'cube.obj')
+    save_obj(p, m)
+    m2 = load_obj(p)
+    np.testing.assert_allclose(m2.vertices, m.vertices, atol=1e-7)
+    np.testing.assert_array_equal(m2.faces, m.faces)
+    assert m2.vertex_normals is not None
+
+
+def test_texture_patch_layout():
+    tex = build_texture_patches(
+        2, [[1, 0, 0], [0, 1, 0]], [0.5, 0.5, 0.5], 0.7, [10, 10, 10])
+    assert tex.shape == (2, 13, 32, 32)
+    mask = texture_patch_mask()
+    assert tex[0, 0][mask].max() == 1.0  # diffuse R inside mask
+    assert tex[0, :, ~mask].max() == 0.0  # zero outside
+    np.testing.assert_allclose(tex[0, 6][mask], 0.7)  # roughness
+    np.testing.assert_allclose(tex[0, 7:10, 16, 8], [0.5, 0.5, 1.0])  # normal
+    np.testing.assert_allclose(tex[1, 10:13, 0, 0], 10.0)  # irradiance
+
+
+@pytest.mark.skipif(not os.path.isdir(EXAMPLES), reason='no reference examples')
+def test_cbox_triangle_count(tmp_path):
+    """cbox.json must produce the canonical triangle count: walls
+    2x2560 + 4 background planes x128 + 1 light triangle = 5633."""
+    from renderformer_tpu.scene.scene_mesh import generate_scene_meshes
+    from renderformer_tpu.scene.to_h5 import scene_to_tensors
+    cfg = load_scene_config(os.path.join(EXAMPLES, 'cbox.json'))
+    meshes = generate_scene_meshes(cfg, EXAMPLES)
+    t = scene_to_tensors(cfg, meshes)
+    assert t['triangles'].shape == (5633, 3, 3)
+    assert t['vn'].shape == (5633, 3, 3)
+    assert t['texture'].shape == (5633, 13, 32, 32)
+    assert t['c2w'].shape == (1, 4, 4)
+    # geometry in [-0.5, 0.5]^3; lights may sit at distance 2.1-2.7
+    # (reference README.md:309-310)
+    assert np.abs(t['triangles']).max() < 3.0
+    # exactly one emissive object (the light): irradiance > 0
+    emissive = t['texture'][:, 10:13].max(axis=(1, 2, 3))
+    assert (emissive > 0).sum() == 1
+
+
+def test_native_decimate_sphere():
+    """QEM decimation: icosphere-ish mesh down to a target face count,
+    geometry stays near the unit sphere."""
+    pytest.importorskip('ctypes')
+    from renderformer_tpu.scene.remesh import decimate
+    # build a uv-sphere
+    nu, nv_ = 24, 16
+    verts, faces = [], []
+    for i in range(nv_ + 1):
+        theta = np.pi * i / nv_
+        for j in range(nu):
+            phi = 2 * np.pi * j / nu
+            verts.append([np.sin(theta) * np.cos(phi),
+                          np.sin(theta) * np.sin(phi), np.cos(theta)])
+    for i in range(nv_):
+        for j in range(nu):
+            a = i * nu + j
+            b = i * nu + (j + 1) % nu
+            c = (i + 1) * nu + j
+            d = (i + 1) * nu + (j + 1) % nu
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    v = np.asarray(verts, float)
+    f = np.asarray(faces)
+    v2, f2 = decimate(v, f, 200)
+    assert len(f2) <= 220
+    assert len(f2) > 100
+    radii = np.linalg.norm(v2, axis=-1)
+    assert radii.min() > 0.7 and radii.max() < 1.3
+
+
+def test_native_remesh_refines():
+    from renderformer_tpu.scene.remesh import remesh
+    m = _cube()
+    v2, f2 = remesh(m.vertices, m.faces, expected_face_num=500)
+    assert 100 < len(f2) <= 620
+    # surface preserved approximately: all vertices near the cube surface
+    eps = 0.2
+    inside = np.all((v2 > -eps) & (v2 < 1 + eps), axis=1)
+    assert inside.mean() > 0.95

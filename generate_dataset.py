@@ -1,0 +1,208 @@
+"""Random-scene dataset generator (Cornell-box variations).
+
+Parity with /root/reference/generate_dataset.py:13-479: randomized
+object pose / roughness / light height / fov inside a Cornell-box
+template, asyncio semaphore-bounded fan-out, JSON + H5 saves, and a GT
+path-trace subprocess per scene (``blenderproc``), tolerated-with-warning
+when Blender isn't installed (generate_dataset.py:370-374).
+"""
+
+import asyncio
+import glob
+import json
+import os
+import random
+import shutil
+import sys
+from pathlib import Path
+from typing import Dict, List
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CONFIG = {
+    'DATA_PATH': 'datasets',
+    'JSON_PATH': 'datasets/json',
+    'H5_PATH': 'datasets/h5',
+    'GT_PATH': 'datasets/gt',
+    'OBJ_PATH': 'examples/objects',
+    'BASE_DIR': 'examples',
+    'SCRIPT_NAME': 'render_scene.py',
+    'NUM_RANDOM_SCENES': 10,
+    'MAX_CONCURRENT_TASKS': 4,
+}
+
+
+def _bg(mesh: str, diffuse, emissive=(0.0, 0.0, 0.0)) -> Dict:
+    return {
+        'mesh_path': mesh,
+        'transform': {'translation': [0.0, 0.0, 0.0],
+                      'rotation': [0.0, 0.0, 0.0],
+                      'scale': [0.5, 0.5, 0.5], 'normalize': False},
+        'material': {'diffuse': list(diffuse),
+                     'specular': [0.01, 0.01, 0.01],
+                     'random_diffuse_max': 0.4, 'roughness': 0.99,
+                     'emissive': list(emissive), 'smooth_shading': True,
+                     'rand_tri_diffuse_seed': None},
+    }
+
+
+class SceneGenerator:
+    def __init__(self, config: dict):
+        self.config = config
+        self.objects_path = Path(config['OBJ_PATH'])
+        self.json_path = Path(config['JSON_PATH'])
+        self.h5_path = Path(config['H5_PATH'])
+        self.gt_path = Path(config['GT_PATH'])
+        for p in (self.json_path, self.h5_path, self.gt_path):
+            p.mkdir(parents=True, exist_ok=True)
+        self.available_objects = self._collect_objects()
+
+    def _collect_objects(self) -> List[tuple]:
+        objects = []
+        for obj_file in glob.glob(str(self.objects_path / '**/*.obj'),
+                                  recursive=True):
+            rel = os.path.relpath(obj_file, str(self.objects_path))
+            objects.append((Path(rel).stem, rel))
+        return objects
+
+    # ------------------------------------------------------------------
+    def generate_scene(self, scene_name: str, object_name: str,
+                       object_path: str) -> Dict:
+        """Randomized Cornell-box scene (generate_dataset.py:50-340):
+        random object pose/scale/roughness, light height 1.5-2.5,
+        fov 30-60 deg."""
+        base = self.config['BASE_DIR']
+        return {
+            'scene_name': scene_name,
+            'version': '1.0',
+            'objects': {
+                'background_0': _bg(f'{base}/templates/backgrounds/plane.obj',
+                                    [0.4, 0.4, 0.4]),
+                'background_1': _bg(f'{base}/templates/backgrounds/wall0.obj',
+                                    [0.4, 0.4, 0.4]),
+                'background_2': _bg(f'{base}/templates/backgrounds/wall1.obj',
+                                    [0.1, 0.4, 0.1]),
+                'background_3': _bg(f'{base}/templates/backgrounds/wall2.obj',
+                                    [0.4, 0.1, 0.1]),
+                'object_0': {
+                    'mesh_path': f'{self.config["OBJ_PATH"]}/{object_path}',
+                    'transform': {
+                        'translation': [random.uniform(-0.3, 0.3),
+                                        random.uniform(-0.3, 0.3),
+                                        random.uniform(-0.3, 0.3)],
+                        'rotation': [random.uniform(0, 360) for _ in range(3)],
+                        'scale': [random.uniform(0.4, 0.8) for _ in range(3)],
+                        'normalize': True,
+                    },
+                    'material': {
+                        'diffuse': [0.5, 0.5, 0.5],
+                        'specular': [0.5, 0.5, 0.5],
+                        'random_diffuse_max': 0.5,
+                        'roughness': random.uniform(0.001, 1.0),
+                        'emissive': [0.0, 0.0, 0.0],
+                        'smooth_shading': True,
+                        'rand_tri_diffuse_seed': random.randint(0, 2 ** 31),
+                    },
+                },
+                'light_0': {
+                    'mesh_path': f'{base}/templates/lighting/tri.obj',
+                    'transform': {
+                        'translation': [0.0, 0.0, random.uniform(1.5, 2.5)],
+                        'rotation': [0.0, 0.0, 0.0],
+                        'scale': [2.5, 2.5, 2.5],
+                        'normalize': False,
+                    },
+                    'material': {
+                        'diffuse': [1.0, 1.0, 1.0],
+                        'specular': [0.0, 0.0, 0.0],
+                        'random_diffuse_max': 0.0,
+                        'roughness': 1.0,
+                        'emissive': [5000.0, 5000.0, 5000.0],
+                        'smooth_shading': True,
+                        'rand_tri_diffuse_seed': None,
+                    },
+                },
+            },
+            'cameras': [{
+                'position': [0.0, -2.0, 0.0],
+                'look_at': [0.0, 0.0, 0.0],
+                'up': [0.0, 0.0, 1.0],
+                'fov': random.uniform(30, 60),
+            }],
+        }
+
+    # ------------------------------------------------------------------
+    async def save_scene_async(self, scene: Dict, scene_name: str):
+        json_file = self.json_path / f'{scene_name}.json'
+        with open(json_file, 'w') as f:
+            json.dump(scene, f, indent=4)
+
+        try:
+            from renderformer_tpu.scene.h5_tools import (
+                save_dict_to_h5_renderformer_method)
+            h5_file = self.h5_path / f'{scene_name}.h5'
+            save_dict_to_h5_renderformer_method(scene, str(h5_file))
+
+            # GT path-trace via blenderproc, tolerated if unavailable
+            if shutil.which('blenderproc'):
+                script = (Path(__file__).parent / 'renderformer_tpu' / 'scene'
+                          / self.config['SCRIPT_NAME'])
+                cmd = (f'blenderproc run {script} -j {json_file} '
+                       f'-o {self.gt_path} -i {scene_name}.png')
+                proc = await asyncio.create_subprocess_shell(
+                    cmd, stdout=asyncio.subprocess.PIPE,
+                    stderr=asyncio.subprocess.PIPE)
+                _, stderr = await proc.communicate()
+                if proc.returncode != 0:
+                    print(f'Warning: GT render failed for {scene_name}: '
+                          f'{stderr.decode()[:500]}')
+            else:
+                print(f'Warning: blenderproc not available; no GT for '
+                      f'{scene_name} (scene JSON/H5 still written)')
+            print(f'Generated scene {scene_name}')
+        except Exception as e:
+            print(f'Error converting {scene_name}: {e} '
+                  f'(JSON kept at {json_file})')
+
+    async def _generate_scene_task(self, scene_index: int):
+        obj_name, obj_path = random.choice(self.available_objects)
+        name = f'random_scene_{scene_index}_{obj_name}'
+        scene = self.generate_scene(name, obj_name, obj_path)
+        await self.save_scene_async(scene, name)
+        return scene_index
+
+    async def generate_dataset(self):
+        sem = asyncio.Semaphore(self.config['MAX_CONCURRENT_TASKS'])
+
+        async def limited(i):
+            async with sem:
+                return await self._generate_scene_task(i)
+
+        results = await asyncio.gather(
+            *[limited(i) for i in range(self.config['NUM_RANDOM_SCENES'])],
+            return_exceptions=True)
+        ok = sum(1 for r in results if not isinstance(r, Exception))
+        print(f'Dataset generation completed: {ok} successful, '
+              f'{len(results) - ok} failed')
+
+    def generate_dataset_sync(self):
+        asyncio.run(self.generate_dataset())
+
+
+def main():
+    if not os.path.isdir(CONFIG['OBJ_PATH']):
+        # fall back to the reference's example objects when present
+        ref = '/root/reference/examples'
+        if os.path.isdir(os.path.join(ref, 'objects')):
+            CONFIG['OBJ_PATH'] = os.path.join(ref, 'objects')
+            CONFIG['BASE_DIR'] = ref
+    gen = SceneGenerator(CONFIG)
+    if not gen.available_objects:
+        print(f'no .obj files under {CONFIG["OBJ_PATH"]}')
+        return 1
+    asyncio.run(gen.generate_dataset())
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

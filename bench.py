@@ -38,7 +38,9 @@ def main():
     except Exception:
         impl = 'xla'
 
-    res, n_tris, n_views, bs = 512, 2048, 4, 1
+    # 8 views amortizes the axon-tunnel dispatch overhead (~35 ms/call)
+    # over 2M rays; real deployments submit many views per program anyway.
+    res, n_tris, n_views, bs = 512, 2048, 8, 1
     model = RenderFormer(V1_BASE)
     params = model.init(jax.random.key(0))
     params = jax.device_put(params)

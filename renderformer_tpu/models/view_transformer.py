@@ -136,9 +136,12 @@ class ViewTransformer:
             out_layers=out_layers, patch_h=patch_h, patch_w=patch_w, impl=impl)
 
         if cfg.use_dpt_decoder:
-            img = self.dpt(params['out_dpt'],
-                           [t.astype(jnp.float32) for t in taps],
+            # DPT runs in the stage-2 dtype, like the reference where it
+            # sits inside the view-transformer autocast
+            # (view_transformer.py:119-121); fp32 accumulation in convs.
+            img = self.dpt(params['out_dpt'], taps,
                            patch_h, patch_w, patch_size=p)
+            img = img.astype(jnp.float32)
             return constrain(elu(img, alpha=1e-3), 'image')
         # linear head: unpatchify
         dec = elu(dense(params['out_proj'], seq), alpha=1e-3)

@@ -1,19 +1,23 @@
-"""Pallas TPU flash attention with key-padding masks.
+"""Pallas TPU flash attention with key-padding masks — forward + backward.
 
 TPU-native replacement for the reference's CUDA flash-attn varlen path
 (/root/reference/renderformer/layers/attention.py:162-198): instead of
 unpadding variable-length sequences (dynamic shapes), we keep static
-shapes and fold the boolean key-padding mask into the online-softmax
+shapes and fold the boolean key-padding mask into the online softmax
 (SURVEY.md §7.3 "varlen -> static-shape masking").
 
 Serves both attention patterns of the model:
   * stage-1 self-attention  : q,k,v [B, H, S, D], mask [B, S]
   * stage-2 cross-attention : q [B, H, Sq, D], k/v [B, H, Sk, D], mask [B, Sk]
 
-Forward is a single Pallas kernel (grid = B x H x Sq-blocks; K/V resident
-in VMEM, online softmax over K blocks in fp32).  Backward recomputes
-attention with the XLA reference path via ``jax.custom_vjp`` — a proper
-Pallas backward kernel is tracked for a later milestone.
+Kernels:
+  * forward — grid (B, H, Sq-blocks), K/V resident in VMEM, online
+    softmax over K blocks in fp32; optionally emits the logsumexp in the
+    lane-replicated [B, H, Sq, 128] layout (TPU block-tiling friendly).
+  * backward — two kernels recomputing attention flash-style:
+      dQ  : grid (B, H, Sq-blocks), loop over K blocks
+      dKV : grid (B, H, Sk-blocks), loop over Q blocks
+    with delta = rowsum(dO * O) precomputed in XLA (it fuses).
 """
 
 from __future__ import annotations
@@ -28,21 +32,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LANES = 128
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int, scale: float):
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None, *,
+                bk: int, scale: float, with_lse: bool):
     """One (batch, head, q-block) grid step.
 
     q_ref: [bq, D]; k_ref/v_ref: [Sk, D]; mask_ref: [B, Sk] (int32,
     1=attend, full array resident — TPU block tiling disallows squeezed
-    1-D mask blocks); o_ref: [bq, D].
+    1-D mask blocks); o_ref: [bq, D]; lse_ref: [bq, LANES] or None.
     """
     bq, d = q_ref.shape
     sk = k_ref.shape[0]
     nkb = sk // bk
     bi = pl.program_id(0)
 
-    q = q_ref[:].astype(jnp.float32) * scale
+    # keep QK^T in the input dtype (bf16 on TPU -> full MXU rate) with
+    # fp32 accumulation; scale applied to the fp32 logits
+    q = q_ref[:]
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
@@ -51,9 +67,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int, scale: float):
         mask = mask_ref[bi, pl.ds(kb * bk, bk)]
 
         logits = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
+            q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [bq, bk]
+            preferred_element_type=jnp.float32) * scale  # [bq, bk]
         logits = jnp.where(mask[None, :] != 0, logits, NEG_INF)
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)  # [bq, 1]
@@ -73,14 +89,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, bk: int, scale: float):
     acc, m, l = jax.lax.fori_loop(0, nkb, body, (acc, m0, l0))
 
     o_ref[:] = (acc / l).astype(o_ref.dtype)
+    if with_lse:
+        lse = m + jnp.log(l)
+        lse_ref[:] = jnp.broadcast_to(lse, (bq, LANES))
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-@functools.partial(jax.jit, static_argnames=('bq', 'bk', 'interpret'))
-def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool):
+@functools.partial(jax.jit,
+                   static_argnames=('bq', 'bk', 'interpret', 'with_lse'))
+def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
+               with_lse: bool = False):
     b, h, sq, d = q.shape
     sk = k.shape[2]
 
@@ -96,8 +113,19 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool):
     scale = 1.0 / np.sqrt(d)
     grid = (b, h, sq_p // bq)
 
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, bk=bk, scale=scale),
+    out_shape = [jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)]
+    out_specs = [pl.BlockSpec((None, None, bq, d),
+                              lambda bi, hi, qi: (bi, hi, qi, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((None, None, bq, LANES),
+                                      lambda bi, hi, qi: (bi, hi, qi, 0),
+                                      memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        functools.partial(_fwd_kernel, bk=bk, scale=scale, with_lse=with_lse),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, None, bq, d),
@@ -112,28 +140,205 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool):
             pl.BlockSpec((b, sk_p), lambda bi, hi, qi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, None, bq, d),
-                               lambda bi, hi, qi: (bi, hi, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        out_specs=out_specs if with_lse else out_specs[0],
+        out_shape=out_shape if with_lse else out_shape[0],
         interpret=interpret,
     )(q, k, v, mask)
 
+    if with_lse:
+        out, lse = res
+    else:
+        out, lse = res, None
     if sq_p != sq:
         out = out[:, :, :sq, :]
-    return out
+    return (out, lse) if with_lse else out
 
 
-def _xla_reference(q, k, v, mask):
-    """Reference attention used for the backward pass (recompute)."""
-    scale = 1.0 / np.sqrt(q.shape[-1])
-    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                        preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum('bhqk,bhkd->bhqd', probs, v)
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
 
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   mask_ref, dq_ref, *, bk: int, scale: float):
+    """dQ for one (batch, head, q-block): loop over K blocks.
+
+    q/do: [bq, D]; k/v: [Sk, D]; lse/delta: [bq, LANES]; mask: [B, Sk].
+    dS = P * (dO V^T - delta); dQ = scale * dS K.
+    """
+    bq, d = q_ref.shape
+    sk = k_ref.shape[0]
+    bi = pl.program_id(0)
+    dt = q_ref.dtype
+
+    q = q_ref[:]
+    do = do_ref[:]
+    lse = lse_ref[:, 0:1]
+    delta = delta_ref[:, 0:1]
+
+    def body(kb, dq_acc):
+        k = k_ref[pl.ds(kb * bk, bk), :]
+        v = v_ref[pl.ds(kb * bk, bk), :]
+        mask = mask_ref[bi, pl.ds(kb * bk, bk)]
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        p = jnp.where(mask[None, :] != 0, p, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        ds = ((dp - delta) * p * scale).astype(dt)
+        return dq_acc + jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, sk // bk, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    mask_ref, dk_ref, dv_ref, *, bq: int, scale: float):
+    """dK/dV for one (batch, head, k-block): loop over Q blocks.
+
+    k/v: [bk, D]; q/do: [Sq, D]; lse/delta: [Sq, LANES]; mask: [B, Sk].
+    dV = P^T dO; dK = scale * dS^T Q.
+    """
+    bk_, d = k_ref.shape
+    sq = q_ref.shape[0]
+    bi = pl.program_id(0)
+    ki = pl.program_id(2)
+    dt = q_ref.dtype
+
+    k = k_ref[:]
+    v = v_ref[:]
+    mask = mask_ref[bi, pl.ds(ki * bk_, bk_)]
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[pl.ds(qb * bq, bq), :]
+        do = do_ref[pl.ds(qb * bq, bq), :]
+        lse = lse_ref[pl.ds(qb * bq, bq), 0:1]
+        delta = delta_ref[pl.ds(qb * bq, bq), 0:1]
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bq, bk]
+        p = jnp.exp(s - lse)
+        p = jnp.where(mask[None, :] != 0, p, 0.0)
+
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(dt), do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bk, D]
+
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        ds = ((dp - delta) * p * scale).astype(dt)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bk, D]
+        return dk_acc, dv_acc
+
+    dk, dv = jax.lax.fori_loop(
+        0, sq // bq, body,
+        (jnp.zeros((bk_, d), jnp.float32), jnp.zeros((bk_, d), jnp.float32)))
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('bq', 'bk', 'interpret'))
+def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
+               interpret: bool):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sq_p = _round_up(sq, bq)
+    sk_p = _round_up(sk, bk)
+
+    if sq_p != sq:
+        pad = ((0, 0), (0, 0), (0, sq_p - sq), (0, 0))
+        q = jnp.pad(q, pad)
+        do = jnp.pad(do, pad)
+        out = jnp.pad(out, pad)
+    if sk_p != sk:
+        pad = ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
+    # lse comes already padded to sq_p from the forward
+
+    scale = 1.0 / np.sqrt(d)
+    # delta = rowsum(dO * O), lane-replicated; XLA fuses this fine
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    delta = jnp.broadcast_to(delta, (b, h, sq_p, LANES))
+
+    common_in = [q, k, v, do, lse, delta, mask]
+
+    def qspec(block_sq):
+        return pl.BlockSpec((None, None, block_sq, d),
+                            lambda bi, hi, i: (bi, hi, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_qspec():
+        return pl.BlockSpec((None, None, sq_p, d),
+                            lambda bi, hi, i: (bi, hi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_kspec():
+        return pl.BlockSpec((None, None, sk_p, d),
+                            lambda bi, hi, i: (bi, hi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def lm_spec_block():
+        return pl.BlockSpec((None, None, bq, LANES),
+                            lambda bi, hi, i: (bi, hi, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def lm_spec_full():
+        return pl.BlockSpec((None, None, sq_p, LANES),
+                            lambda bi, hi, i: (bi, hi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    mask_spec = pl.BlockSpec((b, sk_p), lambda bi, hi, i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, bk=bk, scale=scale),
+        grid=(b, h, sq_p // bq),
+        in_specs=[qspec(bq), full_kspec(), full_kspec(), qspec(bq),
+                  lm_spec_block(), lm_spec_block(), mask_spec],
+        out_specs=qspec(bq),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        interpret=interpret,
+    )(*common_in)
+
+    kv_spec = pl.BlockSpec((None, None, bk, d),
+                           lambda bi, hi, i: (bi, hi, i, 0),
+                           memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, bq=bq, scale=scale),
+        grid=(b, h, sk_p // bk),
+        in_specs=[full_qspec(), kv_spec, kv_spec, full_qspec(),
+                  lm_spec_full(), lm_spec_full(), mask_spec],
+        out_specs=(kv_spec, kv_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, h, sk_p, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, sk_p, d), v.dtype)),
+        interpret=interpret,
+    )(*common_in)
+
+    if sq_p != sq:
+        dq = dq[:, :, :sq, :]
+    if sk_p != sk:
+        dk = dk[:, :, :sk, :]
+        dv = dv[:, :, :sk, :]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash(q, k, v, mask, bq, bk, interpret):
@@ -141,14 +346,13 @@ def _flash(q, k, v, mask, bq, bk, interpret):
 
 
 def _flash_vjp_fwd(q, k, v, mask, bq, bk, interpret):
-    return _flash_fwd(q, k, v, mask, bq, bk, interpret), (q, k, v, mask)
+    out, lse = _flash_fwd(q, k, v, mask, bq, bk, interpret, with_lse=True)
+    return out, (q, k, v, mask, out, lse)
 
 
 def _flash_vjp_bwd(bq, bk, interpret, res, g):
-    q, k, v, mask = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, mask),
-                     q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, mask, out, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, mask, out, lse, g, bq, bk, interpret)
     return dq, dk, dv, None
 
 

@@ -35,12 +35,13 @@ def triangle_freqs(pos: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
 
     pos:   [B, N, 9]  (3 vertices x xyz; fp32)
     freqs: [dim//2]
-    returns angles [B, 1, N, 9 * dim//2 * 2]  (HF concat-halves layout)
+    returns angles [B, N, 1, 9 * dim//2 * 2]  (HF concat-halves layout;
+    the singleton is the head-broadcast slot of the [B, S, H, D] layout)
     """
     pos = pos.astype(jnp.float32)
     ang = pos[..., None] * freqs  # [B, N, 9, dim//2]
     b, n = ang.shape[0], ang.shape[1]
-    ang = ang.reshape(b, 1, n, -1)  # head-dim broadcast slot
+    ang = ang.reshape(b, n, 1, -1)  # head-dim broadcast slot
     return jnp.concatenate([ang, ang], axis=-1)
 
 
@@ -70,7 +71,7 @@ def _rotate_half_hf(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """Rotate ``x`` [B, H, S, head_dim] by cos/sin [B, 1, S, head_dim].
+    """Rotate ``x`` [B, S, H, head_dim] by cos/sin [B, S, 1, head_dim].
 
     Always computes in fp32 and casts back (rope.py:106,131).
     """
@@ -83,7 +84,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 def make_cos_sin(
     pos: jnp.ndarray, rope_dim: int, head_dim: int, double_max_freq: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Convenience: positions [B, N, 9] -> (cos, sin) [B, 1, N, head_dim]."""
+    """Convenience: positions [B, N, 9] -> (cos, sin) [B, N, 1, head_dim]."""
     base = jnp.asarray(rope_frequencies(rope_dim, double_max_freq))
     ang = triangle_freqs(pos, base)
     return freqs_to_cos_sin(ang, head_dim=head_dim)

@@ -48,18 +48,20 @@ from renderformer_tpu.encodings.rope import (
 def sdpa_xla(q, k, v, mask=None):
     """Masked scaled-dot-product attention, XLA reference path.
 
-    q/k/v: [B, H, Sq|Sk, Dh]; mask: broadcastable to [B, H, Sq, Sk] bool,
-    True = attend.  Logits and softmax in fp32; PV matmul in v.dtype.
+    q/k/v: [B, Sq|Sk, H, Dh] (head axis *after* sequence — the layout the
+    projections produce, avoiding physical transposes on TPU);
+    mask: broadcastable to [B, H, Sq, Sk] bool, True = attend.
+    Logits and softmax in fp32; PV matmul in v.dtype.
     """
     scale = 1.0 / np.sqrt(q.shape[-1])
     logits = jnp.einsum(
-        'bhqd,bhkd->bhqk', q, k, preferred_element_type=jnp.float32)
+        'bqhd,bkhd->bhqk', q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if mask is not None:
         logits = jnp.where(mask, logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1)
     probs = probs.astype(v.dtype)
-    return jnp.einsum('bhqk,bhkd->bhqd', probs, v)
+    return jnp.einsum('bhqk,bkhd->bqhd', probs, v)
 
 
 def attend(q, k, v, mask=None, impl: str = 'xla'):
@@ -170,10 +172,10 @@ class MultiHeadAttention:
             q = apply_norm(self.norm_type, params['q_norm'], q, ATTN_EPS).astype(v.dtype)
             k = apply_norm(self.norm_type, params['k_norm'], k, ATTN_EPS).astype(v.dtype)
 
-        # [B, H, S, Dh]
-        q = q.reshape(bs, sq, self.num_heads, -1).transpose(0, 2, 1, 3)
-        k = k.reshape(bs, sk, self.num_heads, -1).transpose(0, 2, 1, 3)
-        v = v.reshape(bs, sk, self.num_heads, -1).transpose(0, 2, 1, 3)
+        # [B, S, H, Dh] — head axis after sequence, no physical transpose
+        q = q.reshape(bs, sq, self.num_heads, -1)
+        k = k.reshape(bs, sk, self.num_heads, -1)
+        v = v.reshape(bs, sk, self.num_heads, -1)
 
         if rope_cos is not None:
             q = apply_rope(q, rope_cos, rope_sin)
@@ -187,7 +189,7 @@ class MultiHeadAttention:
             attn_mask = mask[:, None, None, :]  # [B, 1, 1, Sk]
 
         out = attend(q.astype(v.dtype), k.astype(v.dtype), v, attn_mask, impl)
-        out = out.transpose(0, 2, 1, 3).reshape(bs, sq, -1)
+        out = out.reshape(bs, sq, -1)
         return dense(params['out_proj'], out).astype(out_dtype)
 
 
@@ -272,12 +274,12 @@ class SwinSelfAttention:
             k = apply_norm(self.norm_type, params['k_norm'], k, ATTN_EPS).astype(v.dtype)
 
         s = ws * ws
-        q = q.reshape(-1, s, self.num_heads, c // self.num_heads).transpose(0, 2, 1, 3)
-        k = k.reshape(-1, s, self.num_heads, c // self.num_heads).transpose(0, 2, 1, 3)
-        v = v.reshape(-1, s, self.num_heads, c // self.num_heads).transpose(0, 2, 1, 3)
+        q = q.reshape(-1, s, self.num_heads, c // self.num_heads)
+        k = k.reshape(-1, s, self.num_heads, c // self.num_heads)
+        v = v.reshape(-1, s, self.num_heads, c // self.num_heads)
 
         out = attend(q.astype(v.dtype), k.astype(v.dtype), v, attn_mask, impl)
-        out = out.transpose(0, 2, 1, 3).reshape(-1, s, c)
+        out = out.reshape(-1, s, c)
         out = dense(params['out_proj'], out)
 
         x = window_reverse(out, ws, h, w)

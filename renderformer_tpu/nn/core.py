@@ -72,10 +72,14 @@ def norm_init(norm_type: str, dim: int, dtype=jnp.float32):
 
 
 def rms_norm(params, x, eps: float = TORCH_DEFAULT_RMS_EPS):
+    """Statistics accumulate in fp32; wire traffic stays in x.dtype
+    (the self-dot lowers to an fp32-accumulating reduction over bf16
+    reads instead of materializing an fp32 copy)."""
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    y = x32 * jax.lax.rsqrt(var + eps)
+    ss = jnp.einsum('...d,...d->...', x, x,
+                    preferred_element_type=jnp.float32)
+    var = ss[..., None] / x.shape[-1]
+    y = x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
     y = y * params['scale'].astype(jnp.float32)
     return y.astype(dtype)
 

@@ -7,8 +7,15 @@ shapes and fold the boolean key-padding mask into the online softmax
 (SURVEY.md §7.3 "varlen -> static-shape masking").
 
 Serves both attention patterns of the model:
-  * stage-1 self-attention  : q,k,v [B, H, S, D], mask [B, S]
-  * stage-2 cross-attention : q [B, H, Sq, D], k/v [B, H, Sk, D], mask [B, Sk]
+  * stage-1 self-attention  : q,k,v [B, S, H, D], mask [B, S]
+  * stage-2 cross-attention : q [B, Sq, H, D], k/v [B, Sk, H, D], mask [B, Sk]
+
+The sequence-major [B, S, H, D] layout matches what the fused qkv
+projections produce, so no physical head transposes are materialized
+(they showed up as ~7 ms/step of pure copies in device profiles).
+Internally arrays are viewed as [B, S, H*D] (a free reshape) and blocks
+address per-head [*, D] slices through the index map — TPU block tiling
+rejects squeezed head axes in the last two block dims.
 
 Kernels:
   * forward — grid (B, H, Sq-blocks), K/V resident in VMEM, online
@@ -98,44 +105,50 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None, *,
                    static_argnames=('bq', 'bk', 'interpret', 'with_lse'))
 def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
                with_lse: bool = False):
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
 
     sq_p = _round_up(sq, bq)
     sk_p = _round_up(sk, bk)
     if sq_p != sq:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
     if sk_p != sk:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
     mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
 
     scale = 1.0 / np.sqrt(d)
     grid = (b, h, sq_p // bq)
 
-    out_shape = [jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)]
-    out_specs = [pl.BlockSpec((None, None, bq, d),
-                              lambda bi, hi, qi: (bi, hi, qi, 0),
+    # free reshapes: [B, S, H, D] -> [B, S, H*D]; blocks pick the per-head
+    # [*, D] slice via the index map's head coordinate
+    q2 = q.reshape(b, sq_p, h * d)
+    k2 = k.reshape(b, sk_p, h * d)
+    v2 = v.reshape(b, sk_p, h * d)
+
+    out_shape = [jax.ShapeDtypeStruct((b, sq_p, h * d), q.dtype)]
+    out_specs = [pl.BlockSpec((None, bq, d),
+                              lambda bi, hi, qi: (bi, qi, hi),
                               memory_space=pltpu.VMEM)]
     if with_lse:
         out_shape.append(
-            jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32))
-        out_specs.append(pl.BlockSpec((None, None, bq, LANES),
-                                      lambda bi, hi, qi: (bi, hi, qi, 0),
+            jax.ShapeDtypeStruct((b, sq_p, h * LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((None, bq, LANES),
+                                      lambda bi, hi, qi: (bi, qi, hi),
                                       memory_space=pltpu.VMEM))
 
     res = pl.pallas_call(
         functools.partial(_fwd_kernel, bk=bk, scale=scale, with_lse=with_lse),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, None, bq, d),
-                         lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((None, bq, d),
+                         lambda bi, hi, qi: (bi, qi, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, sk_p, d),
-                         lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((None, sk_p, d),
+                         lambda bi, hi, qi: (bi, 0, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, sk_p, d),
-                         lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((None, sk_p, d),
+                         lambda bi, hi, qi: (bi, 0, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, sk_p), lambda bi, hi, qi: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -143,14 +156,15 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
         out_specs=out_specs if with_lse else out_specs[0],
         out_shape=out_shape if with_lse else out_shape[0],
         interpret=interpret,
-    )(q, k, v, mask)
+    )(q2, k2, v2, mask)
 
     if with_lse:
         out, lse = res
     else:
         out, lse = res, None
+    out = out.reshape(b, sq_p, h, d)
     if sq_p != sq:
-        out = out[:, :, :sq, :]
+        out = out[:, :sq, :, :]
     return (out, lse) if with_lse else out
 
 
@@ -251,54 +265,59 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 @functools.partial(jax.jit, static_argnames=('bq', 'bk', 'interpret'))
 def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
                interpret: bool):
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
     sq_p = _round_up(sq, bq)
     sk_p = _round_up(sk, bk)
 
     if sq_p != sq:
-        pad = ((0, 0), (0, 0), (0, sq_p - sq), (0, 0))
+        pad = ((0, 0), (0, sq_p - sq), (0, 0), (0, 0))
         q = jnp.pad(q, pad)
         do = jnp.pad(do, pad)
         out = jnp.pad(out, pad)
     if sk_p != sk:
-        pad = ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))
+        pad = ((0, 0), (0, sk_p - sk), (0, 0), (0, 0))
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
     mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
-    # lse comes already padded to sq_p from the forward
+    # lse comes already padded from the forward, [B, sq_p, H*LANES]
 
     scale = 1.0 / np.sqrt(d)
-    # delta = rowsum(dO * O), lane-replicated; XLA fuses this fine
+    # delta = rowsum(dO * O) in the same folded lane-replicated layout
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1, keepdims=True)
-    delta = jnp.broadcast_to(delta, (b, h, sq_p, LANES))
+                    axis=-1)  # [B, sq_p, H]
+    delta = jnp.broadcast_to(
+        delta[..., None], (b, sq_p, h, LANES)).reshape(b, sq_p, h * LANES)
 
-    common_in = [q, k, v, do, lse, delta, mask]
+    q2 = q.reshape(b, sq_p, h * d)
+    k2 = k.reshape(b, sk_p, h * d)
+    v2 = v.reshape(b, sk_p, h * d)
+    do2 = do.reshape(b, sq_p, h * d)
+    common_in = [q2, k2, v2, do2, lse, delta, mask]
 
     def qspec(block_sq):
-        return pl.BlockSpec((None, None, block_sq, d),
-                            lambda bi, hi, i: (bi, hi, i, 0),
+        return pl.BlockSpec((None, block_sq, d),
+                            lambda bi, hi, i: (bi, i, hi),
                             memory_space=pltpu.VMEM)
 
     def full_qspec():
-        return pl.BlockSpec((None, None, sq_p, d),
-                            lambda bi, hi, i: (bi, hi, 0, 0),
+        return pl.BlockSpec((None, sq_p, d),
+                            lambda bi, hi, i: (bi, 0, hi),
                             memory_space=pltpu.VMEM)
 
     def full_kspec():
-        return pl.BlockSpec((None, None, sk_p, d),
-                            lambda bi, hi, i: (bi, hi, 0, 0),
+        return pl.BlockSpec((None, sk_p, d),
+                            lambda bi, hi, i: (bi, 0, hi),
                             memory_space=pltpu.VMEM)
 
     def lm_spec_block():
-        return pl.BlockSpec((None, None, bq, LANES),
-                            lambda bi, hi, i: (bi, hi, i, 0),
+        return pl.BlockSpec((None, bq, LANES),
+                            lambda bi, hi, i: (bi, i, hi),
                             memory_space=pltpu.VMEM)
 
     def lm_spec_full():
-        return pl.BlockSpec((None, None, sq_p, LANES),
-                            lambda bi, hi, i: (bi, hi, 0, 0),
+        return pl.BlockSpec((None, sq_p, LANES),
+                            lambda bi, hi, i: (bi, 0, hi),
                             memory_space=pltpu.VMEM)
 
     mask_spec = pl.BlockSpec((b, sk_p), lambda bi, hi, i: (0, 0),
@@ -310,12 +329,12 @@ def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
         in_specs=[qspec(bq), full_kspec(), full_kspec(), qspec(bq),
                   lm_spec_block(), lm_spec_block(), mask_spec],
         out_specs=qspec(bq),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, h * d), q.dtype),
         interpret=interpret,
     )(*common_in)
 
-    kv_spec = pl.BlockSpec((None, None, bk, d),
-                           lambda bi, hi, i: (bi, hi, i, 0),
+    kv_spec = pl.BlockSpec((None, bk, d),
+                           lambda bi, hi, i: (bi, i, hi),
                            memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, bq=bq, scale=scale),
@@ -323,16 +342,19 @@ def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
         in_specs=[full_qspec(), kv_spec, kv_spec, full_qspec(),
                   lm_spec_full(), lm_spec_full(), mask_spec],
         out_specs=(kv_spec, kv_spec),
-        out_shape=(jax.ShapeDtypeStruct((b, h, sk_p, d), k.dtype),
-                   jax.ShapeDtypeStruct((b, h, sk_p, d), v.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((b, sk_p, h * d), k.dtype),
+                   jax.ShapeDtypeStruct((b, sk_p, h * d), v.dtype)),
         interpret=interpret,
     )(*common_in)
 
+    dq = dq.reshape(b, sq_p, h, d)
+    dk = dk.reshape(b, sk_p, h, d)
+    dv = dv.reshape(b, sk_p, h, d)
     if sq_p != sq:
-        dq = dq[:, :, :sq, :]
+        dq = dq[:, :sq, :, :]
     if sk_p != sk:
-        dk = dk[:, :, :sk, :]
-        dv = dv[:, :, :sk, :]
+        dk = dk[:, :sk, :, :]
+        dv = dv[:, :sk, :, :]
     return dq, dk, dv
 
 
@@ -364,17 +386,17 @@ def flash_attention(q, k, v, mask=None,
                     interpret: Optional[bool] = None):
     """Masked flash attention.
 
-    q: [B, H, Sq, D]; k/v: [B, H, Sk, D]
+    q: [B, Sq, H, D]; k/v: [B, Sk, H, D]
     mask: broadcastable key mask; accepts [B, Sk] or [B, 1, 1, Sk] bool
           (True = attend), or None.
     """
     if mask is not None and mask.ndim == 4:
         mask = mask[:, 0, 0, :]
     if mask is None:
-        mask = jnp.ones((q.shape[0], k.shape[2]), dtype=bool)
+        mask = jnp.ones((q.shape[0], k.shape[1]), dtype=bool)
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
-    sq, sk = q.shape[2], k.shape[2]
+    sq, sk = q.shape[1], k.shape[1]
     bq = min(bq, _round_up(sq, 128))
     bk = min(bk, _round_up(sk, 128))
     return _flash(q, k, v, mask, bq, bk, interpret)

@@ -61,7 +61,8 @@ def test_rope_identity_on_padded_dims():
     """Zero-angle padding must leave the tail dims of q unchanged."""
     pos = jnp.zeros((1, 3, 9))
     cos, sin = make_cos_sin(pos, rope_dim=12, head_dim=128)
-    q = jnp.asarray(np.random.default_rng(1).normal(size=(1, 2, 3, 128)),
+    # [B, S, H, D] sequence-major layout
+    q = jnp.asarray(np.random.default_rng(1).normal(size=(1, 3, 2, 128)),
                     dtype=jnp.float32)
     out = apply_rope(q, cos, sin)
     np.testing.assert_allclose(np.asarray(out), np.asarray(q), atol=1e-6)
@@ -84,14 +85,20 @@ def test_rope_matches_torch_reference():
     base = jnp.asarray(rope_frequencies(12))
     jf = triangle_freqs(jnp.asarray(pos), base)
     jcos, jsin = freqs_to_cos_sin(jf, head_dim=head_dim)
-    np.testing.assert_allclose(np.asarray(jcos), tcos.numpy(), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(jsin), tsin.numpy(), atol=1e-6)
+    # ours is [B, N, 1, D]; torch reference is [B, 1, N, D]
+    np.testing.assert_allclose(
+        np.asarray(jcos).transpose(0, 2, 1, 3), tcos.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jsin).transpose(0, 2, 1, 3), tsin.numpy(), atol=1e-6)
 
+    # torch applies in [B, H, S, D]; ours in [B, S, H, D]
     q = rng.normal(size=(2, 4, 7, head_dim)).astype(np.float32)
     k = rng.normal(size=(2, 4, 7, head_dim)).astype(np.float32)
     tq, tk = apply_rotary_emb_cossin(
         torch.from_numpy(q), torch.from_numpy(k), tcos, tsin)
-    jq = apply_rope(jnp.asarray(q), jcos, jsin)
-    jk = apply_rope(jnp.asarray(k), jcos, jsin)
-    np.testing.assert_allclose(np.asarray(jq), tq.numpy(), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(jk), tk.numpy(), atol=1e-5)
+    jq = apply_rope(jnp.asarray(q.transpose(0, 2, 1, 3)), jcos, jsin)
+    jk = apply_rope(jnp.asarray(k.transpose(0, 2, 1, 3)), jcos, jsin)
+    np.testing.assert_allclose(
+        np.asarray(jq).transpose(0, 2, 1, 3), tq.numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jk).transpose(0, 2, 1, 3), tk.numpy(), atol=1e-5)

@@ -12,9 +12,10 @@ from renderformer_tpu.ops.flash_attention import flash_attention
 
 
 def _rand_qkv(rng, b, h, sq, sk, d, dtype=jnp.float32):
-    q = jnp.asarray(rng.normal(size=(b, h, sq, d)), dtype)
-    k = jnp.asarray(rng.normal(size=(b, h, sk, d)), dtype)
-    v = jnp.asarray(rng.normal(size=(b, h, sk, d)), dtype)
+    """[B, S, H, D] sequence-major layout (matches the projections)."""
+    q = jnp.asarray(rng.normal(size=(b, sq, h, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(b, sk, h, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(b, sk, h, d)), dtype)
     return q, k, v
 
 

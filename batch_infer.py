@@ -67,7 +67,17 @@ def main():
     os.makedirs(output_dir, exist_ok=True)
     video_frames = []
 
+    from renderformer_tpu.utils.profiling import ThroughputMeter
+    meter = None
+
     for batch in dataset.batches(args.batch_size):
+        if meter is None:
+            meter = ThroughputMeter(
+                resolution=args.resolution,
+                views_per_step=batch['c2w'].shape[1],
+                batch_size=batch['c2w'].shape[0],
+                triangle_tokens=batch['triangles'].shape[1])
+        meter.start()
         rendered = np.asarray(pipeline.render(
             triangles=batch['triangles'],
             texture=batch['texture'],
@@ -78,6 +88,7 @@ def main():
             resolution=args.resolution,
             precision=args.precision,
         ))
+        meter.stop()
 
         for i, file_path in enumerate(batch['file_paths']):
             base = os.path.splitext(os.path.basename(file_path))[0]
@@ -95,6 +106,13 @@ def main():
             print(f'Rendered {base}')
 
     print(f'Output saved to: {output_dir}')
+    if meter is not None:
+        summary = meter.summary()
+        if summary:
+            print('throughput: %.0f rays/s, %.0f ray-tokens/s '
+                  '(mean %.3fs/batch, first batch excluded)' % (
+                      summary['rays_per_s'], summary['ray_tokens_per_s'],
+                      summary['mean_step_s']))
     if args.save_video and video_frames:
         video_path = os.path.join(output_dir, 'video.mp4')
         write_video(video_path, video_frames, fps=args.fps)

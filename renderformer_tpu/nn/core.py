@@ -72,26 +72,33 @@ def norm_init(norm_type: str, dim: int, dtype=jnp.float32):
 
 
 def rms_norm(params, x, eps: float = TORCH_DEFAULT_RMS_EPS):
-    """Statistics accumulate in fp32; wire traffic stays in x.dtype
-    (the self-dot lowers to an fp32-accumulating reduction over bf16
-    reads instead of materializing an fp32 copy)."""
+    """Statistics accumulate in fp32. On low-precision inputs the rescale
+    multiply stays in x.dtype: if any fp32 use of x exists alongside the
+    reduction, XLA CSEs the upcast and materializes an fp32 copy of the
+    whole activation (measured ~0.85 ms per norm at [4,4096,768])."""
     dtype = x.dtype
     ss = jnp.einsum('...d,...d->...', x, x,
                     preferred_element_type=jnp.float32)
     var = ss[..., None] / x.shape[-1]
-    y = x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
-    y = y * params['scale'].astype(jnp.float32)
-    return y.astype(dtype)
+    inv = jax.lax.rsqrt(var + eps)
+    if dtype == jnp.float32:
+        return x * inv * params['scale'].astype(jnp.float32)
+    return x * inv.astype(dtype) * params['scale'].astype(dtype)
 
 
 def layer_norm(params, x, eps: float = TORCH_DEFAULT_LN_EPS):
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * params['scale'].astype(jnp.float32) + params['bias'].astype(jnp.float32)
-    return y.astype(dtype)
+    d = x.shape[-1]
+    mean = (jnp.sum(x, axis=-1, keepdims=True, dtype=jnp.float32) / d)
+    ss = jnp.einsum('...d,...d->...', x, x,
+                    preferred_element_type=jnp.float32)
+    var = ss[..., None] / d - mean * mean
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    if dtype == jnp.float32:
+        return ((x - mean) * inv * params['scale'].astype(jnp.float32)
+                + params['bias'].astype(jnp.float32))
+    return ((x - mean.astype(dtype)) * inv.astype(dtype)
+            * params['scale'].astype(dtype) + params['bias'].astype(dtype))
 
 
 def apply_norm(norm_type: str, params, x, eps: Optional[float] = None):

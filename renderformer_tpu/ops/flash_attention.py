@@ -155,6 +155,8 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
         ],
         out_specs=out_specs if with_lse else out_specs[0],
         out_shape=out_shape if with_lse else out_shape[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel')),
         interpret=interpret,
     )(q2, k2, v2, mask)
 
@@ -330,6 +332,8 @@ def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
                   lm_spec_block(), lm_spec_block(), mask_spec],
         out_specs=qspec(bq),
         out_shape=jax.ShapeDtypeStruct((b, sq_p, h * d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel')),
         interpret=interpret,
     )(*common_in)
 
@@ -344,6 +348,8 @@ def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
         out_specs=(kv_spec, kv_spec),
         out_shape=(jax.ShapeDtypeStruct((b, sk_p, h * d), k.dtype),
                    jax.ShapeDtypeStruct((b, sk_p, h * d), v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel')),
         interpret=interpret,
     )(*common_in)
 

@@ -122,6 +122,11 @@ class RenderingPipeline:
 
     # -- rendering ------------------------------------------------------
     def _resolve_impl(self) -> str:
+        import os
+        # env override, the reference's ATTN_IMPL idiom (attention.py:18)
+        env = os.environ.get('RFTPU_ATTN_IMPL')
+        if env in ('xla', 'flash'):
+            return env
         if self.attn_impl != 'auto':
             return self.attn_impl
         platform = jax.devices()[0].platform

@@ -35,6 +35,20 @@ class TrainConfig:
     precision: str = 'bfloat16'
     min_lr_scale: float = 0.0  # cosine floor (eta_min / lr)
     skip_nonfinite: bool = True
+    debug_nans: bool = False       # jax_debug_nans (SURVEY.md §5 sanitizers)
+    deterministic: bool = False    # bitwise-reproducible XLA reductions
+
+    def apply_debug_flags(self):
+        import jax
+        if self.debug_nans:
+            jax.config.update('jax_debug_nans', True)
+        if self.deterministic:
+            import os
+            flags = os.environ.get('XLA_FLAGS', '')
+            if '--xla_tpu_enable_deterministic' not in flags:
+                os.environ['XLA_FLAGS'] = (
+                    flags + ' --xla_tpu_enable_deterministic_reductions'
+                ).strip()
 
 
 @jax.tree_util.register_dataclass

@@ -54,6 +54,7 @@ class RenderFormerTrainer:
                             'steps_per_epoch': n_batches,
                             'resolution': dataset.max_resolution})
         self.tc = tc
+        tc.apply_debug_flags()
 
         self.tx = make_optimizer(tc)
         self.state = TrainState.create(params, self.tx)

@@ -164,3 +164,20 @@ def test_native_remesh_refines():
     eps = 0.2
     inside = np.all((v2 > -eps) & (v2 < 1 + eps), axis=1)
     assert inside.mean() > 0.95
+
+
+def test_own_examples_convert(tmp_path):
+    """The in-repo generated example scenes must convert end to end."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    examples = os.path.join(repo, 'examples')
+    if not os.path.isdir(examples):
+        pytest.skip('examples not generated')
+    from renderformer_tpu.scene.scene_mesh import generate_scene_meshes
+    from renderformer_tpu.scene.to_h5 import scene_to_tensors
+    cfg = load_scene_config(os.path.join(examples, 'cbox.json'))
+    meshes = generate_scene_meshes(cfg, examples)
+    t = scene_to_tensors(cfg, meshes)
+    n = t['triangles'].shape[0]
+    assert 100 < n < 4096  # inside the training envelope
+    emissive = t['texture'][:, 10:13].max(axis=(1, 2, 3))
+    assert (emissive > 0).sum() == 1  # the single light triangle

@@ -34,6 +34,9 @@ def main():
                         default='none')
     parser.add_argument('--attn_impl', type=str,
                         choices=['auto', 'xla', 'flash'], default='auto')
+    parser.add_argument('--shard', action='store_true',
+                        help='Shard inference over all visible devices '
+                             '(GSPMD data x seq mesh)')
     parser.add_argument('--cpu', action='store_true',
                         help='Force the CPU backend')
     args = parser.parse_args()
@@ -49,6 +52,9 @@ def main():
 
     pipeline = RenderingPipeline.from_pretrained(
         args.model_id, attn_impl=args.attn_impl)
+    if args.shard:
+        pipeline.use_mesh()
+        print(f'sharded inference over mesh {pipeline.mesh.shape}')
 
     tone_mapper = None
     if args.tone_mapper != 'none':

@@ -82,14 +82,33 @@ def render_fn(params, triangles, texture, mask, vn, c2w, fov, *,
 
 
 class RenderingPipeline:
-    """Stateful wrapper holding (model, params) with a jit cache."""
+    """Stateful wrapper holding (model, params) with a jit cache.
 
-    def __init__(self, model: RenderFormer, params, attn_impl: str = 'auto'):
+    With ``shard=True`` (or on construction via ``use_mesh``) rendering
+    runs under a GSPMD mesh: the batch shards over ``data`` and ray
+    tokens over ``seq`` — multi-chip inference with zero model changes.
+    """
+
+    def __init__(self, model: RenderFormer, params, attn_impl: str = 'auto',
+                 mesh=None):
         self.model = model
         self.params = params
         self.config = model.config
         self.attn_impl = attn_impl
+        self.mesh = mesh
         self._jitted = {}
+
+    def use_mesh(self, mesh_shape=None):
+        """Enable sharded inference over all visible devices."""
+        from renderformer_tpu.parallel.sharding import make_mesh, replicated
+        import math
+        if mesh_shape is None:
+            n = len(jax.devices())
+            mesh_shape = (1, n)  # batch=1 friendly: sequence parallelism
+        self.mesh = make_mesh(mesh_shape)
+        self.params = jax.device_put(self.params, replicated(self.mesh))
+        self._jitted = {}
+        return self
 
     # -- constructors ---------------------------------------------------
     @classmethod
@@ -147,17 +166,34 @@ class RenderingPipeline:
 
         key = (resolution, str(dtype), str(view_dtype), impl)
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(
-                functools.partial(
-                    render_fn, model=self.model, resolution=resolution,
-                    dtype=dtype, view_dtype=view_dtype, impl=impl))
+            fn = functools.partial(
+                render_fn, model=self.model, resolution=resolution,
+                dtype=dtype, view_dtype=view_dtype, impl=impl)
+            if self.mesh is not None:
+                from renderformer_tpu.parallel.sharding import replicated
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = replicated(self.mesh)
+                data_sh = NamedSharding(self.mesh, P('data'))
+                self._jitted[key] = jax.jit(
+                    fn, in_shardings=(repl,) + (data_sh,) * 6)
+            else:
+                self._jitted[key] = jax.jit(fn)
         fn = self._jitted[key]
-        return fn(self.params,
-                  jnp.asarray(triangles, jnp.float32),
-                  jnp.asarray(texture, jnp.float32),
-                  jnp.asarray(mask, bool),
-                  jnp.asarray(vn, jnp.float32),
-                  jnp.asarray(c2w, jnp.float32),
-                  jnp.asarray(fov, jnp.float32))
+        args = (jnp.asarray(triangles, jnp.float32),
+                jnp.asarray(texture, jnp.float32),
+                jnp.asarray(mask, bool),
+                jnp.asarray(vn, jnp.float32),
+                jnp.asarray(c2w, jnp.float32),
+                jnp.asarray(fov, jnp.float32))
+        if self.mesh is not None:
+            from renderformer_tpu.parallel.sharding import use_sharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data_sh = NamedSharding(self.mesh, P('data'))
+            args = tuple(jax.device_put(a, data_sh) for a in args)
+            # constraints bake at trace time (first call) — keep the
+            # sharding-rules context active around the call
+            with use_sharding(self.mesh):
+                return fn(self.params, *args)
+        return fn(self.params, *args)
 
     __call__ = render

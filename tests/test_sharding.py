@@ -96,3 +96,18 @@ def test_sharded_train_step_matches_single_device(setup):
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-6, rtol=1e-4)
+
+
+def test_pipeline_use_mesh_matches_unsharded(setup):
+    """Public pipeline API: use_mesh() sharded render == unsharded."""
+    from renderformer_tpu.pipelines.rendering_pipeline import RenderingPipeline
+    model, params, batch, res = setup
+    args = dict(triangles=batch['triangles'], texture=batch['texture'],
+                mask=batch['mask'], vn=batch['vn'], c2w=batch['c2w'],
+                fov=batch['fov'], resolution=res, precision='fp32',
+                view_precision='fp32')
+    p1 = RenderingPipeline(model, params)
+    single = np.asarray(p1.render(**args))
+    p2 = RenderingPipeline(model, params).use_mesh((4, 2))
+    sharded = np.asarray(p2.render(**args))
+    np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=1e-4)

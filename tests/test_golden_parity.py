@@ -123,3 +123,44 @@ def test_parity_stage1_tokens():
     enc_j = np.asarray(jmodel.encoder(
         params['transformer'], seq_j, mask=mask_j, triangle_pos=pos_j))
     np.testing.assert_allclose(enc_j, enc_t, atol=5e-5, rtol=1e-4)
+
+
+def test_parity_include_alpha():
+    _run_parity({'include_alpha': True})
+
+
+def test_parity_rope_double_max_freq():
+    _run_parity({'rope_double_max_freq': True})
+
+
+def test_parity_triangle_mixed_rejected_like_reference():
+    """rope_type=triangle_mixed overrides rope_dim with head_dim
+    (attention.py:569-573), which makes 9*head_dim/2 angles overflow
+    head_dim/2 slots — the reference crashes on this path for every
+    config (rope.py:96 'Dimension size must be non-negative'); we raise
+    a clear error at the same point."""
+    with pytest.raises(RuntimeError):
+        torch.manual_seed(0)
+        cfg_kw = dict(TINY, rope_type='triangle_mixed')
+        tmodel = TorchRenderFormer(TorchConfig(**cfg_kw)).eval()
+        inp = _make_inputs()
+        with torch.no_grad():
+            tmodel(torch.from_numpy(inp['tri']), torch.from_numpy(inp['tex']),
+                   torch.from_numpy(inp['mask']), torch.from_numpy(inp['vns']),
+                   torch.from_numpy(inp['rays_o']),
+                   torch.from_numpy(inp['rays_d']),
+                   torch.from_numpy(inp['tri_view']))
+
+    with pytest.raises(ValueError):
+        jmodel = RenderFormer(RenderFormerConfig(
+            **dict(TINY, rope_type='triangle_mixed')))
+        inp = _make_inputs()
+        jmodel(jmodel.init(__import__('jax').random.key(0)),
+               jnp.asarray(inp['tri']), jnp.asarray(inp['tex']),
+               jnp.asarray(inp['mask']), jnp.asarray(inp['vns']),
+               jnp.asarray(inp['rays_o']), jnp.asarray(inp['rays_d']),
+               jnp.asarray(inp['tri_view']))
+
+
+def test_parity_no_self_attn():
+    _run_parity({'view_transformer_include_self_attn': False})

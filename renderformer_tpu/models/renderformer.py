@@ -161,6 +161,14 @@ class RenderFormer:
             view_dtype = dtype
         cfg = self.config
 
+        # params in the compute dtype (stage 2 may differ); avoids mixed
+        # bf16-x-fp32 matmuls that promote to fp32 on the MXU
+        from renderformer_tpu.nn.core import cast_params
+        view_params = cast_params(params['view_transformer'], view_dtype)
+        params = {**cast_params(
+            {k: v for k, v in params.items() if k != 'view_transformer'},
+            dtype), 'view_transformer': view_params}
+
         seq, mask_padded, rope_pos = self.construct_seq(
             params, tri_vpos, texture_patches, valid_mask, vns, dtype=dtype)
         seq = constrain(seq.astype(dtype), 'tokens')

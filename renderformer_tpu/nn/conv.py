@@ -34,11 +34,10 @@ def conv2d(x, kernel, bias=None, stride: int = 1, padding: int = 0):
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         y = y + bias.astype(y.dtype)
-    return y.astype(x.dtype)
+    return y
 
 
 def conv2d_init(key, kh, kw, cin, cout, bias=True, groups: int = 1):
@@ -64,12 +63,11 @@ def conv_transpose2d_block(x, kernel, bias=None, stride: int = 2):
     b, h, w, cin = x.shape
     kh, kw, _, cout = kernel.shape
     assert kh == stride and kw == stride
-    y = jnp.einsum('bhwc,ijco->bhiwjo', x, kernel.astype(x.dtype),
-                   preferred_element_type=jnp.float32)
+    y = jnp.einsum('bhwc,ijco->bhiwjo', x, kernel.astype(x.dtype))
     y = y.reshape(b, h * kh, w * kw, cout)
     if bias is not None:
         y = y + bias.astype(y.dtype)
-    return y.astype(x.dtype)
+    return y
 
 
 @functools.lru_cache(maxsize=128)
@@ -97,8 +95,6 @@ def resize_bilinear_align_corners(x, out_hw: Tuple[int, int]):
         return x
     Ah = jnp.asarray(_interp_matrix(h, out_h), dtype=x.dtype)
     Aw = jnp.asarray(_interp_matrix(w, out_w), dtype=x.dtype)
-    y = jnp.einsum('oh,bhwc->bowc', Ah, x,
-                   preferred_element_type=jnp.float32)
-    y = jnp.einsum('pw,bowc->bopc', Aw, y.astype(x.dtype),
-                   preferred_element_type=jnp.float32)
-    return y.astype(x.dtype)
+    y = jnp.einsum('oh,bhwc->bowc', Ah, x)
+    y = jnp.einsum('pw,bowc->bopc', Aw, y)
+    return y

@@ -47,7 +47,11 @@ def dense_init(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.floa
 
 
 def dense(params, x, dtype=None):
-    """x @ kernel (+ bias). If `dtype` given, cast operands before matmul."""
+    """x @ kernel (+ bias).
+
+    Callers are responsible for params and x having the same dtype
+    (see :func:`cast_params`): mixed bf16 activations x fp32 weights
+    would silently promote the matmul to fp32 — 8x slower on the MXU."""
     kernel = params['kernel']
     if dtype is not None:
         x = x.astype(dtype)
@@ -56,6 +60,25 @@ def dense(params, x, dtype=None):
     if 'bias' in params:
         y = y + params['bias'].astype(y.dtype)
     return y
+
+
+def cast_params(params, dtype):
+    """Cast a parameter tree to the compute dtype, keeping ``rope_freqs``
+    fp32 (RoPE rotation is always computed in fp32 — precision policy).
+    Gradients flow back to fp32 master weights through the cast (standard
+    master-weight mixed precision)."""
+    if dtype == jnp.float32:
+        return params
+    from jax.tree_util import tree_map_with_path
+
+    def cast(path, p):
+        if any(getattr(k, 'key', None) == 'rope_freqs' for k in path):
+            return p
+        if hasattr(p, 'dtype') and p.dtype == jnp.float32:
+            return p.astype(dtype)
+        return p
+
+    return tree_map_with_path(cast, params)
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,7 @@ class RenderingPipeline:
         self.attn_impl = attn_impl
         self.mesh = mesh
         self._jitted = {}
+        self._cast_params = {}
 
     def use_mesh(self, mesh_shape=None):
         """Enable sharded inference over all visible devices."""
@@ -179,6 +180,19 @@ class RenderingPipeline:
             else:
                 self._jitted[key] = jax.jit(fn)
         fn = self._jitted[key]
+        # inference-only weight cast cache: avoids re-converting the fp32
+        # master weights on every call and halves weight HBM reads. The
+        # model's internal cast_params then becomes a no-op. Stage-2
+        # weights are cast to view_dtype separately.
+        pkey = (str(dtype), str(view_dtype))
+        if pkey not in self._cast_params:
+            from renderformer_tpu.nn.core import cast_params
+            vt = cast_params(self.params['view_transformer'], view_dtype)
+            rest = cast_params(
+                {k: v for k, v in self.params.items()
+                 if k != 'view_transformer'}, dtype)
+            self._cast_params[pkey] = {**rest, 'view_transformer': vt}
+        params = self._cast_params[pkey]
         args = (jnp.asarray(triangles, jnp.float32),
                 jnp.asarray(texture, jnp.float32),
                 jnp.asarray(mask, bool),
@@ -193,7 +207,7 @@ class RenderingPipeline:
             # constraints bake at trace time (first call) — keep the
             # sharding-rules context active around the call
             with use_sharding(self.mesh):
-                return fn(self.params, *args)
-        return fn(self.params, *args)
+                return fn(params, *args)
+        return fn(params, *args)
 
     __call__ = render

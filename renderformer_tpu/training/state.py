@@ -33,6 +33,8 @@ class TrainConfig:
     warmup_steps: int = 0
     resolution: int = 256
     precision: str = 'bfloat16'
+    view_precision: str = ''   # '' -> reference semantics (fp32 island
+    #                               under half, bf16 under fp32)
     min_lr_scale: float = 0.0  # cosine floor (eta_min / lr)
     skip_nonfinite: bool = True
     debug_nans: bool = False       # jax_debug_nans (SURVEY.md §5 sanitizers)
@@ -88,7 +90,11 @@ def make_train_step(model: RenderFormer, tx: optax.GradientTransformation,
     vn [B,N,3,3], c2w [B,V,4,4], fov [B,V,1], gt [B,V,H,W,3].
     """
     dtype = jnp.bfloat16 if tc.precision in ('bfloat16', 'bf16') else jnp.float32
-    view_dtype = jnp.float32 if dtype == jnp.bfloat16 else jnp.bfloat16
+    if tc.view_precision:
+        view_dtype = (jnp.bfloat16 if tc.view_precision in ('bfloat16', 'bf16')
+                      else jnp.float32)
+    else:
+        view_dtype = jnp.float32 if dtype == jnp.bfloat16 else jnp.bfloat16
 
     def loss_fn(params, batch):
         imgs = render_fn(

@@ -68,7 +68,8 @@ def test_sharded_render_matches_single_device(setup):
 
 def test_sharded_train_step_matches_single_device(setup):
     model, params, batch, res = setup
-    tc = TrainConfig(resolution=res, precision='float32', steps_per_epoch=4)
+    tc = TrainConfig(resolution=res, precision='float32',
+                     view_precision='float32', steps_per_epoch=4)
     tx = make_optimizer(tc)
     train_step, _ = make_train_step(model, tx, tc, impl='xla')
     state = TrainState.create(params, tx)

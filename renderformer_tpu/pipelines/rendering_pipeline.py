@@ -102,7 +102,6 @@ class RenderingPipeline:
     def use_mesh(self, mesh_shape=None):
         """Enable sharded inference over all visible devices."""
         from renderformer_tpu.parallel.sharding import make_mesh, replicated
-        import math
         if mesh_shape is None:
             n = len(jax.devices())
             mesh_shape = (1, n)  # batch=1 friendly: sequence parallelism

@@ -7,14 +7,12 @@ dacite dependency.
 from __future__ import annotations
 
 import json
-import os
 from typing import Any, Dict
 
 import h5py
 import numpy as np
 
-from renderformer_tpu.scene.scene_config import (
-    SceneConfig, scene_config_from_dict, scene_config_to_dict)
+from renderformer_tpu.scene.scene_config import scene_config_from_dict
 
 
 def _write_dict_to_group(group: h5py.Group, data: Dict[str, Any]) -> None:

@@ -17,7 +17,7 @@ trimesh, so the required subset is implemented natively:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

@@ -11,14 +11,12 @@ replicated-param sharding instead of DDP hooks.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from renderformer_tpu.config import RenderFormerConfig
 from renderformer_tpu.models.renderformer import RenderFormer
 from renderformer_tpu.pipelines.rendering_pipeline import render_fn
 

@@ -8,7 +8,6 @@ NaN-skip lives inside the step (state.py); TensorBoard metrics, best-val
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -18,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from renderformer_tpu.config import RenderFormerConfig
 from renderformer_tpu.models.renderformer import RenderFormer
 from renderformer_tpu.parallel.sharding import (
     make_mesh, replicated, use_sharding)

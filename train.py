@@ -34,7 +34,6 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
 
     import jax
-    from renderformer_tpu.models.renderformer import RenderFormer
     from renderformer_tpu.pipelines.rendering_pipeline import RenderingPipeline
     from renderformer_tpu.training.dataset import RenderFormerDataset
     from renderformer_tpu.training.state import TrainConfig

@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from renderformer_tpu.config import PRESETS, RenderFormerConfig
+from renderformer_tpu.config import PRESETS, RenderFormerConfig, RuntimeConfig
 from renderformer_tpu.models.renderformer import RenderFormer
 from renderformer_tpu.utils.hdr import hdr_decode_image, hdr_encode_texture
 from renderformer_tpu.utils.rays import generate_rays
@@ -90,14 +90,18 @@ class RenderingPipeline:
     """
 
     def __init__(self, model: RenderFormer, params, attn_impl: str = 'auto',
-                 mesh=None):
+                 mesh=None, runtime: Optional[RuntimeConfig] = None):
         self.model = model
         self.params = params
         self.config = model.config
-        self.attn_impl = attn_impl
+        self.runtime = runtime or RuntimeConfig()
+        self.attn_impl = (attn_impl if attn_impl != 'auto'
+                          else self.runtime.attn_impl)
         self.mesh = mesh
         self._jitted = {}
         self._cast_params = {}
+        if runtime is not None and tuple(runtime.mesh_shape) != (1, 1):
+            self.use_mesh(tuple(runtime.mesh_shape))
 
     def use_mesh(self, mesh_shape=None):
         """Enable sharded inference over all visible devices."""
@@ -152,9 +156,12 @@ class RenderingPipeline:
         return 'flash' if platform == 'tpu' else 'xla'
 
     def render(self, triangles, texture, mask, vn, c2w, fov,
-               resolution: int = 512, precision: str = 'bf16',
+               resolution: int = 512, precision: Optional[str] = None,
                view_precision: Optional[str] = None):
         """Render; numpy/jax array inputs. Returns HDR [bs, V, H, W, 3]."""
+        if precision is None:
+            precision = self.runtime.compute_dtype
+            view_precision = view_precision or self.runtime.view_dtype
         dtype = _DTYPES[precision]
         # reference: half-precision outer dtype -> fp32(TF32) view stage
         # (rendering_pipeline.py:99); fp32 -> bf16 view stage.

@@ -164,3 +164,52 @@ def test_parity_triangle_mixed_rejected_like_reference():
 
 def test_parity_no_self_attn():
     _run_parity({'view_transformer_include_self_attn': False})
+
+
+def test_padding_invariance():
+    """Rendering a scene padded with masked-out triangles must produce
+    the same image as the unpadded scene — the static-shape masking
+    design must be airtight end to end."""
+    import jax
+    model = RenderFormer(RenderFormerConfig(**TINY))
+    params = model.init(jax.random.key(5))
+    rng = np.random.default_rng(5)
+    b, n, v, res = 1, 6, 1, 32
+    inp = dict(
+        tri=rng.normal(size=(b, n, 9)).astype(np.float32) * 0.3,
+        tex=rng.uniform(0, 1, (b, n, 13, 32, 32)).astype(np.float32),
+        vns=rng.normal(size=(b, n, 9)).astype(np.float32),
+        rays_o=rng.normal(size=(b, v, 3)).astype(np.float32),
+        rays_d=rng.normal(size=(b, v, res, res, 3)).astype(np.float32),
+        tri_view=rng.normal(size=(b, v, n, 9)).astype(np.float32) * 0.3,
+    )
+
+    out_exact = np.asarray(model(
+        params, jnp.asarray(inp['tri']), jnp.asarray(inp['tex']),
+        jnp.ones((b, n), bool), jnp.asarray(inp['vns']),
+        jnp.asarray(inp['rays_o']), jnp.asarray(inp['rays_d']),
+        jnp.asarray(inp['tri_view'])))
+
+    pad = 10
+    def padded(x, fill=0.0):
+        shape = list(x.shape)
+        shape[1] = pad
+        return np.concatenate(
+            [x, np.full(shape, fill, x.dtype)], axis=1)
+
+    tri_p = padded(inp['tri'])
+    tex_p = padded(inp['tex'])
+    vns_p = padded(inp['vns'])
+    tv_p = np.concatenate(
+        [inp['tri_view'],
+         np.zeros((b, v, pad, 9), np.float32)], axis=2)
+    mask_p = np.concatenate(
+        [np.ones((b, n), bool), np.zeros((b, pad), bool)], axis=1)
+
+    out_padded = np.asarray(model(
+        params, jnp.asarray(tri_p), jnp.asarray(tex_p),
+        jnp.asarray(mask_p), jnp.asarray(vns_p),
+        jnp.asarray(inp['rays_o']), jnp.asarray(inp['rays_d']),
+        jnp.asarray(tv_p)))
+
+    np.testing.assert_allclose(out_padded, out_exact, atol=2e-5, rtol=1e-4)

@@ -27,6 +27,14 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
+    # persistent compile cache: remote TPU compiles of the 205M graph vary
+    # between 4 and 12 minutes; cache hits cut reruns to seconds
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:
+        pass
+
     from renderformer_tpu.config import V1_BASE
     from renderformer_tpu.models.renderformer import RenderFormer
     from renderformer_tpu.pipelines.rendering_pipeline import render_fn

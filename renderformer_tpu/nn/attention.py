@@ -64,6 +64,13 @@ def sdpa_xla(q, k, v, mask=None):
     return jnp.einsum('bhqk,bkhd->bqhd', probs, v)
 
 
+def _fuse_rope_enabled() -> bool:
+    """Opt-in RoPE-in-kernel fusion (RFTPU_FUSE_ROPE=1). Default off —
+    kept opt-in until it consistently wins on target hardware."""
+    import os
+    return os.environ.get('RFTPU_FUSE_ROPE') == '1'
+
+
 def attend(q, k, v, mask=None, impl: str = 'xla'):
     """Dispatch to the configured attention backend.
 
@@ -177,16 +184,30 @@ class MultiHeadAttention:
         k = k.reshape(bs, sk, self.num_heads, -1)
         v = v.reshape(bs, sk, self.num_heads, -1)
 
+        attn_mask = None
+        if mask is not None:
+            attn_mask = mask[:, None, None, :]  # [B, 1, 1, Sk]
+
+        if (rope_cos is not None and impl == 'flash'
+                and _fuse_rope_enabled()):
+            # fp32 rotation fused into the kernel prologue — skips the
+            # rotate-half HBM round trips
+            from renderformer_tpu.ops.flash_attention import (
+                flash_attention_rope)
+            ck = rope_ctx_cos if rope_ctx_cos is not None else rope_cos
+            sk_ = rope_ctx_sin if rope_ctx_sin is not None else rope_sin
+            out = flash_attention_rope(
+                q.astype(v.dtype), k.astype(v.dtype), v, attn_mask,
+                rope_cos, rope_sin, ck, sk_)
+            out = out.reshape(bs, sq, -1)
+            return dense(params['out_proj'], out).astype(out_dtype)
+
         if rope_cos is not None:
             q = apply_rope(q, rope_cos, rope_sin)
             if rope_ctx_cos is None:
                 k = apply_rope(k, rope_cos, rope_sin)
             else:
                 k = apply_rope(k, rope_ctx_cos, rope_ctx_sin)
-
-        attn_mask = None
-        if mask is not None:
-            attn_mask = mask[:, None, None, :]  # [B, 1, 1, Sk]
 
         out = attend(q.astype(v.dtype), k.astype(v.dtype), v, attn_mask, impl)
         out = out.reshape(bs, sq, -1)

@@ -406,3 +406,222 @@ def flash_attention(q, k, v, mask=None,
     bq = min(bq, _round_up(sq, 128))
     bk = min(bk, _round_up(sk, 128))
     return _flash(q, k, v, mask, bq, bk, interpret)
+
+
+# ---------------------------------------------------------------------------
+# RoPE-fused forward (opt-in via RFTPU_FUSE_ROPE=1)
+#
+# Rotates q and k in fp32 inside the kernel prologue instead of
+# materializing rotated copies through HBM (the XLA rotate-half fusions
+# cost ~3 ms / 4 views in device profiles). The rotation is orthogonal,
+# so the backward pass rotates the primals forward again (recompute) and
+# inverse-rotates dq/dk with negated sin.
+# ---------------------------------------------------------------------------
+
+def _rot(x32, cos, sin):
+    """HF rotate-half applied in fp32: x*cos + rotate_half(x)*sin."""
+    half = x32.shape[-1] // 2
+    rot = jnp.concatenate([-x32[:, half:], x32[:, :half]], axis=-1)
+    return x32 * cos + rot * sin
+
+
+def _fwd_rope_kernel(q_ref, k_ref, v_ref, mask_ref, cosq_ref, sinq_ref,
+                     cosk_ref, sink_ref, o_ref, lse_ref=None, *,
+                     bk: int, scale: float, with_lse: bool):
+    """Like _fwd_kernel, with fp32 RoPE fused into the prologue.
+
+    cosq/sinq: [bq, D] fp32; cosk/sink: [Sk, D] fp32 (head-shared).
+    """
+    bq, d = q_ref.shape
+    sk = k_ref.shape[0]
+    nkb = sk // bk
+    bi = pl.program_id(0)
+    dt = q_ref.dtype
+
+    q = _rot(q_ref[:].astype(jnp.float32),
+             cosq_ref[:], sinq_ref[:]).astype(dt)
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k = _rot(k_ref[pl.ds(kb * bk, bk), :].astype(jnp.float32),
+                 cosk_ref[pl.ds(kb * bk, bk), :],
+                 sink_ref[pl.ds(kb * bk, bk), :]).astype(dt)
+        v = v_ref[pl.ds(kb * bk, bk), :]
+        mask = mask_ref[bi, pl.ds(kb * bk, bk)]
+
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask[None, :] != 0, logits, NEG_INF)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nkb, body, (acc, m0, l0))
+
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+    if with_lse:
+        lse_ref[:] = jnp.broadcast_to(m + jnp.log(l), (bq, LANES))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('bq', 'bk', 'interpret', 'with_lse'))
+def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
+                    bq: int, bk: int, interpret: bool,
+                    with_lse: bool = False):
+    """cos/sin: [B, S, D] fp32, shared across heads."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    sq_p = _round_up(sq, bq)
+    sk_p = _round_up(sk, bk)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
+        cosq = jnp.pad(cosq, ((0, 0), (0, sq_p - sq), (0, 0)))
+        sinq = jnp.pad(sinq, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        cosk = jnp.pad(cosk, ((0, 0), (0, sk_p - sk), (0, 0)))
+        sink = jnp.pad(sink, ((0, 0), (0, sk_p - sk), (0, 0)))
+    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
+
+    scale = 1.0 / np.sqrt(d)
+    grid = (b, h, sq_p // bq)
+
+    q2 = q.reshape(b, sq_p, h * d)
+    k2 = k.reshape(b, sk_p, h * d)
+    v2 = v.reshape(b, sk_p, h * d)
+
+    def fold_spec(block_s):
+        return pl.BlockSpec((None, block_s, d),
+                            lambda bi, hi, qi: (bi, qi, hi),
+                            memory_space=pltpu.VMEM)
+
+    def fold_full_k():
+        return pl.BlockSpec((None, sk_p, d),
+                            lambda bi, hi, qi: (bi, 0, hi),
+                            memory_space=pltpu.VMEM)
+
+    def rope_q_spec():
+        return pl.BlockSpec((None, bq, d),
+                            lambda bi, hi, qi: (bi, qi, 0),
+                            memory_space=pltpu.VMEM)
+
+    def rope_k_spec():
+        return pl.BlockSpec((None, sk_p, d),
+                            lambda bi, hi, qi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((b, sq_p, h * d), q.dtype)]
+    out_specs = [fold_spec(bq)]
+    if with_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, sq_p, h * LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((None, bq, LANES),
+                                      lambda bi, hi, qi: (bi, qi, hi),
+                                      memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        functools.partial(_fwd_rope_kernel, bk=bk, scale=scale,
+                          with_lse=with_lse),
+        grid=grid,
+        in_specs=[fold_spec(bq), fold_full_k(), fold_full_k(),
+                  pl.BlockSpec((b, sk_p), lambda bi, hi, qi: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  rope_q_spec(), rope_q_spec(),
+                  rope_k_spec(), rope_k_spec()],
+        out_specs=out_specs if with_lse else out_specs[0],
+        out_shape=out_shape if with_lse else out_shape[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'parallel')),
+        interpret=interpret,
+    )(q2, k2, v2, mask, cosq, sinq, cosk, sink)
+
+    if with_lse:
+        out, lse = res
+    else:
+        out, lse = res, None
+    out = out.reshape(b, sq_p, h, d)
+    if sq_p != sq:
+        out = out[:, :sq, :, :]
+    return (out, lse) if with_lse else out
+
+
+def _rot_bhsd(x, cos, sin):
+    """apply_rope on [B, S, H, D] with head-shared [B, S, D] tables."""
+    x32 = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x32[..., half:], x32[..., :half]], axis=-1)
+    return (x32 * cos[:, :, None, :] + rot * sin[:, :, None, :]).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _flash_rope(q, k, v, mask, cosq, sinq, cosk, sink, bq, bk, interpret):
+    return _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
+                           bq, bk, interpret)
+
+
+def _flash_rope_vjp_fwd(q, k, v, mask, cosq, sinq, cosk, sink,
+                        bq, bk, interpret):
+    out, lse = _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
+                               bq, bk, interpret, with_lse=True)
+    return out, (q, k, v, mask, cosq, sinq, cosk, sink, out, lse)
+
+
+def _flash_rope_vjp_bwd(bq, bk, interpret, res, g):
+    q, k, v, mask, cosq, sinq, cosk, sink, out, lse = res
+    # recompute rotated primals, run the standard backward, then rotate
+    # dq/dk back (orthogonal rotation: inverse == negated sin)
+    q_rot = _rot_bhsd(q, cosq, sinq)
+    k_rot = _rot_bhsd(k, cosk, sink)
+    dq_rot, dk_rot, dv = _flash_bwd(q_rot, k_rot, v, mask, out, lse, g,
+                                    bq, bk, interpret)
+    dq = _rot_bhsd(dq_rot, cosq, -sinq)
+    dk = _rot_bhsd(dk_rot, cosk, -sink)
+    zq = jnp.zeros_like(cosq)
+    zk = jnp.zeros_like(cosk)
+    return dq, dk, dv, None, zq, zq, zk, zk
+
+
+_flash_rope.defvjp(_flash_rope_vjp_fwd, _flash_rope_vjp_bwd)
+
+
+def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
+                         bq: int = 512, bk: int = 512,
+                         interpret=None):
+    """Flash attention with fp32 RoPE fused into the kernel prologue.
+
+    q/k/v: [B, S, H, D]; cos/sin: [B, S, 1, D] or [B, S, D] fp32
+    (head-shared); mask: [B, Sk] or [B, 1, 1, Sk] bool, True = attend.
+    """
+    if mask is not None and mask.ndim == 4:
+        mask = mask[:, 0, 0, :]
+    if mask is None:
+        mask = jnp.ones((q.shape[0], k.shape[1]), dtype=bool)
+    if cosq.ndim == 4:
+        cosq, sinq = cosq[:, :, 0, :], sinq[:, :, 0, :]
+    if cosk.ndim == 4:
+        cosk, sink = cosk[:, :, 0, :], sink[:, :, 0, :]
+    if interpret is None:
+        interpret = jax.devices()[0].platform != 'tpu'
+    sq, sk = q.shape[1], k.shape[1]
+    bq = min(bq, _round_up(sq, 128))
+    bk = min(bk, _round_up(sk, 128))
+    # stop-gradient on the tables: positions are no-grad in the reference
+    cosq = jax.lax.stop_gradient(cosq.astype(jnp.float32))
+    sinq = jax.lax.stop_gradient(sinq.astype(jnp.float32))
+    cosk = jax.lax.stop_gradient(cosk.astype(jnp.float32))
+    sink = jax.lax.stop_gradient(sink.astype(jnp.float32))
+    return _flash_rope(q, k, v, mask, cosq, sinq, cosk, sink,
+                       bq, bk, interpret)

@@ -101,3 +101,67 @@ def test_model_forward_flash_vs_xla():
     out_xla = np.asarray(model(params, *args, impl='xla'))
     out_flash = np.asarray(model(params, *args, impl='flash'))
     np.testing.assert_allclose(out_flash, out_xla, atol=5e-5, rtol=1e-4)
+
+
+def test_rope_fused_kernel_matches_unfused():
+    """RoPE-fused flash forward == rotate-then-attend, fwd and grads."""
+    from renderformer_tpu.encodings.rope import apply_rope, make_cos_sin
+    from renderformer_tpu.ops.flash_attention import flash_attention_rope
+
+    rng = np.random.default_rng(7)
+    b, h, sq, sk, d = 1, 2, 96, 80, 128
+    q, k, v = _rand_qkv(rng, b, h, sq, sk, d)
+    mask = jnp.asarray(rng.uniform(size=(b, sk)) > 0.3).at[:, 0].set(True)
+    pos_q = jnp.asarray(rng.normal(size=(b, sq, 9)), jnp.float32) * 0.3
+    pos_k = jnp.asarray(rng.normal(size=(b, sk, 9)), jnp.float32) * 0.3
+    cq, sq_ = make_cos_sin(pos_q, rope_dim=12, head_dim=d)
+    ck, sk_ = make_cos_sin(pos_k, rope_dim=12, head_dim=d)
+
+    def loss_unfused(q, k, v):
+        qr = apply_rope(q, cq, sq_)
+        kr = apply_rope(k, ck, sk_)
+        return jnp.sum(jnp.square(sdpa_xla(qr, kr, v, mask[:, None, None, :])))
+
+    def loss_fused(q, k, v):
+        out = flash_attention_rope(q, k, v, mask, cq, sq_, ck, sk_,
+                                   bq=64, bk=64, interpret=True)
+        return jnp.sum(jnp.square(out))
+
+    np.testing.assert_allclose(float(loss_fused(q, k, v)),
+                               float(loss_unfused(q, k, v)), rtol=1e-5)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_unfused, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_rope_fused_model_forward(monkeypatch):
+    """Whole model with RFTPU_FUSE_ROPE=1 matches the default path."""
+    import os
+    from renderformer_tpu.config import RenderFormerConfig
+    from renderformer_tpu.models.renderformer import RenderFormer
+
+    cfg = RenderFormerConfig(
+        latent_dim=72, num_layers=2, num_heads=2, dim_feedforward=144,
+        num_register_tokens=4, vertex_pe_num_freqs=4,
+        view_transformer_latent_dim=72, view_transformer_ffn_hidden_dim=144,
+        view_transformer_n_heads=2, view_transformer_n_layers=4,
+        dpt_features=16, dpt_out_channels=[8, 16, 32, 64])
+    model = RenderFormer(cfg)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    b, n, v, res = 1, 8, 1, 32
+    args = (
+        jnp.asarray(rng.normal(size=(b, n, 9)), jnp.float32) * 0.3,
+        jnp.asarray(rng.uniform(0, 1, (b, n, 13, 32, 32)), jnp.float32),
+        jnp.ones((b, n), bool).at[:, 6:].set(False),
+        jnp.asarray(rng.normal(size=(b, n, 9)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, v, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, v, res, res, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, v, n, 9)), jnp.float32) * 0.3,
+    )
+    base = np.asarray(model(params, *args, impl='flash'))
+    monkeypatch.setenv('RFTPU_FUSE_ROPE', '1')
+    fused = np.asarray(model(params, *args, impl='flash'))
+    np.testing.assert_allclose(fused, base, atol=5e-5, rtol=1e-4)

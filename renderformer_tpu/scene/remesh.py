@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 from typing import Tuple
 
 import numpy as np
@@ -25,6 +26,15 @@ def _load_lib():
         os.path.join(here, '..', '..', 'native', 'libmeshops.so'),
         os.path.join(here, 'libmeshops.so'),
     ]
+    native_dir = os.path.join(here, '..', '..', 'native')
+    if (not any(os.path.exists(p) for p in candidates)
+            and os.path.exists(os.path.join(native_dir, 'Makefile'))):
+        # Fresh checkout: build the library once, in-tree.
+        try:
+            subprocess.run(['make', '-C', native_dir], check=True,
+                           capture_output=True, timeout=300)
+        except (subprocess.SubprocessError, OSError):
+            pass
     for path in candidates:
         if os.path.exists(path):
             lib = ctypes.CDLL(path)

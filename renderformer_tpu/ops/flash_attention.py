@@ -17,6 +17,16 @@ Internally arrays are viewed as [B, S, H*D] (a free reshape) and blocks
 address per-head [*, D] slices through the index map — TPU block tiling
 rejects squeezed head axes in the last two block dims.
 
+VPU-economy design (the softmax bookkeeping, not the matmuls, is the
+utilization ceiling at D=128): the softmax scale and log2(e) are folded
+into q before the K loop (for the RoPE-fused kernel: into the q-side
+cos/sin tables — the rotation is linear, so scaling the tables scales
+the rotated q for free), the exponentials run as native exp2, the
+key-padding mask is an additive [bk] bias instead of a [bq, bk] select,
+and unmasked call sites (ray-token self-attention) compile a kernel with
+no mask work at all. Backward defers its scale multiply from the
+[bq, bk] dS block to the [*, D] epilogue.
+
 Kernels:
   * forward — grid (B, H, Sq-blocks), K/V resident in VMEM, online
     softmax over K blocks in fp32; optionally emits the logsumexp in the
@@ -40,49 +50,75 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LANES = 128
+LOG2E = 1.4426950408889634  # log2(e): softmax runs in the exp2 domain
+LN2 = 0.6931471805599453
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pick_bk(sk: int, bk: Optional[int]) -> int:
+    """Default K-block policy: one block covering the whole K sequence
+    whenever it fits VMEM (collapses the online softmax to a single
+    straight-line pass — measured 82% vs 53% MXU util at 4096 keys on
+    v5e); stream 2048-key blocks beyond that."""
+    if bk is not None:
+        return min(bk, _round_up(sk, 128))
+    skp = _round_up(sk, 128)
+    return skp if skp <= 4096 else 2048
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None, *,
-                bk: int, scale: float, with_lse: bool):
-    """One (batch, head, q-block) grid step.
+def _fwd_body(q, k_ref, v_ref, mask_ref, bi, nkb, bk):
+    """Online softmax over K blocks, exp2 domain.
 
-    q_ref: [bq, D]; k_ref/v_ref: [Sk, D]; mask_ref: [B, Sk] (int32,
-    1=attend, full array resident — TPU block tiling disallows squeezed
-    1-D mask blocks); o_ref: [bq, D]; lse_ref: [bq, LANES] or None.
+    `q` comes pre-scaled by softmax_scale * log2(e), so the loop body is
+    two matmuls plus: [optional +bias], max, exp2, sum, acc rescale.
+    Returns (acc fp32 [bq, D], m2 [bq,1], l [bq,1]) with m2 in log2 units.
+
+    When the whole K sequence is a single block (the default whenever it
+    fits VMEM — see ``_pick_bk``) the online rescale bookkeeping
+    degenerates to one straight-line softmax pass, the fastest variant
+    measured on v5e (82% vs 53% MXU util at 4096x4096).
     """
-    bq, d = q_ref.shape
-    sk = k_ref.shape[0]
-    nkb = sk // bk
-    bi = pl.program_id(0)
+    bq, d = q.shape
 
-    # keep QK^T in the input dtype (bf16 on TPU -> full MXU rate) with
-    # fp32 accumulation; scale applied to the fp32 logits
-    q = q_ref[:]
-
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
+    def block_logits(kb):
         k = k_ref[pl.ds(kb * bk, bk), :]
-        v = v_ref[pl.ds(kb * bk, bk), :]
-        mask = mask_ref[bi, pl.ds(kb * bk, bk)]
-
         logits = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [bq, bk]
-        logits = jnp.where(mask[None, :] != 0, logits, NEG_INF)
+            preferred_element_type=jnp.float32)  # [bq, bk], log2 units
+        if mask_ref is not None:
+            mask = mask_ref[bi, pl.ds(kb * bk, bk)]
+            bias = jnp.where(mask != 0, 0.0, NEG_INF)  # [bk]
+            logits = logits + bias[None, :]
+        return logits
+
+    if nkb == 1:
+        logits = block_logits(0)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp2(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m, l
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        v = v_ref[pl.ds(kb * bk, bk), :]
+        logits = block_logits(kb)
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)  # [bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)  # [bq, bk]
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(logits - m_new)  # [bq, bk] — == exp(s*scale - m)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v,
@@ -93,12 +129,41 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None, *,
     acc = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, nkb, body, (acc, m0, l0))
+    return jax.lax.fori_loop(0, nkb, body, (acc, m0, l0))
 
+
+def _fwd_epilogue(acc, m2, l, o_ref, lse_ref, with_lse):
+    bq = acc.shape[0]
     o_ref[:] = (acc / l).astype(o_ref.dtype)
     if with_lse:
-        lse = m + jnp.log(l)
+        # natural-log lse (what the backward expects): m2 and l are in
+        # the exp2 domain, so lse = ln2 * m2 + ln(l)
+        lse = m2 * LN2 + jnp.log(l)
         lse_ref[:] = jnp.broadcast_to(lse, (bq, LANES))
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None, *,
+                bk: int, scale: float, with_lse: bool):
+    """One (batch, head, q-block) grid step, masked variant.
+
+    q_ref: [bq, D]; k_ref/v_ref: [Sk, D]; mask_ref: [B, Sk] (int32,
+    1=attend, full array resident — TPU block tiling disallows squeezed
+    1-D mask blocks); o_ref: [bq, D]; lse_ref: [bq, LANES] or None.
+    """
+    sk = k_ref.shape[0]
+    bi = pl.program_id(0)
+    q = (q_ref[:].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    acc, m2, l = _fwd_body(q, k_ref, v_ref, mask_ref, bi, sk // bk, bk)
+    _fwd_epilogue(acc, m2, l, o_ref, lse_ref, with_lse)
+
+
+def _fwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
+                       bk: int, scale: float, with_lse: bool):
+    """Unmasked variant — no mask ref, no bias pass (ray self-attention)."""
+    sk = k_ref.shape[0]
+    q = (q_ref[:].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
+    acc, m2, l = _fwd_body(q, k_ref, v_ref, None, 0, sk // bk, bk)
+    _fwd_epilogue(acc, m2, l, o_ref, lse_ref, with_lse)
 
 
 @functools.partial(jax.jit,
@@ -115,7 +180,12 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
     if sk_p != sk:
         k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
-    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
+    # key padding forces the masked kernel even when mask is None
+    has_mask = mask is not None or sk_p != sk
+    if has_mask:
+        if mask is None:
+            mask = jnp.ones((b, sk), bool)
+        mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
 
     scale = 1.0 / np.sqrt(d)
     grid = (b, h, sq_p // bq)
@@ -137,28 +207,38 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
                                       lambda bi, hi, qi: (bi, qi, hi),
                                       memory_space=pltpu.VMEM))
 
+    in_specs = [
+        pl.BlockSpec((None, bq, d),
+                     lambda bi, hi, qi: (bi, qi, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, sk_p, d),
+                     lambda bi, hi, qi: (bi, 0, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, sk_p, d),
+                     lambda bi, hi, qi: (bi, 0, hi),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [q2, k2, v2]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((b, sk_p), lambda bi, hi, qi: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask)
+        kernel = functools.partial(_fwd_kernel, bk=bk, scale=scale,
+                                   with_lse=with_lse)
+    else:
+        kernel = functools.partial(_fwd_kernel_nomask, bk=bk, scale=scale,
+                                   with_lse=with_lse)
+
     res = pl.pallas_call(
-        functools.partial(_fwd_kernel, bk=bk, scale=scale, with_lse=with_lse),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, bq, d),
-                         lambda bi, hi, qi: (bi, qi, hi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, sk_p, d),
-                         lambda bi, hi, qi: (bi, 0, hi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, sk_p, d),
-                         lambda bi, hi, qi: (bi, 0, hi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, sk_p), lambda bi, hi, qi: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs if with_lse else out_specs[0],
         out_shape=out_shape if with_lse else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'parallel')),
         interpret=interpret,
-    )(q2, k2, v2, mask)
+    )(*operands)
 
     if with_lse:
         out, lse = res
@@ -175,51 +255,57 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   mask_ref, dq_ref, *, bk: int, scale: float):
+                   mask_ref, dq_ref, *, bk: int, scale: float,
+                   has_mask: bool):
     """dQ for one (batch, head, q-block): loop over K blocks.
 
     q/do: [bq, D]; k/v: [Sk, D]; lse/delta: [bq, LANES]; mask: [B, Sk].
-    dS = P * (dO V^T - delta); dQ = scale * dS K.
+    dS = P * (dO V^T - delta); dQ = scale * dS K — the scale multiply is
+    deferred to the [bq, D] epilogue, and P is recomputed in the exp2
+    domain from q pre-scaled by scale*log2(e).
     """
     bq, d = q_ref.shape
     sk = k_ref.shape[0]
     bi = pl.program_id(0)
     dt = q_ref.dtype
 
-    q = q_ref[:]
+    q = (q_ref[:].astype(jnp.float32) * (scale * LOG2E)).astype(dt)
     do = do_ref[:]
-    lse = lse_ref[:, 0:1]
+    lse2 = lse_ref[:, 0:1] * LOG2E  # natural log -> log2 units
     delta = delta_ref[:, 0:1]
 
     def body(kb, dq_acc):
         k = k_ref[pl.ds(kb * bk, bk), :]
         v = v_ref[pl.ds(kb * bk, bk), :]
-        mask = mask_ref[bi, pl.ds(kb * bk, bk)]
 
-        s = jax.lax.dot_general(
+        s2 = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse)
-        p = jnp.where(mask[None, :] != 0, p, 0.0)
+            preferred_element_type=jnp.float32)  # log2 units
+        if has_mask:
+            mask = mask_ref[bi, pl.ds(kb * bk, bk)]
+            bias = jnp.where(mask != 0, 0.0, NEG_INF)
+            s2 = s2 + bias[None, :]
+        p = jnp.exp2(s2 - lse2)
 
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [bq, bk]
-        ds = ((dp - delta) * p * scale).astype(dt)
+        ds = ((dp - delta) * p).astype(dt)
         return dq_acc + jax.lax.dot_general(
             ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, sk // bk, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    mask_ref, dk_ref, dv_ref, *, bq: int, scale: float):
+                    mask_ref, dk_ref, dv_ref, *, bq: int, scale: float,
+                    has_mask: bool):
     """dK/dV for one (batch, head, k-block): loop over Q blocks.
 
     k/v: [bk, D]; q/do: [Sq, D]; lse/delta: [Sq, LANES]; mask: [B, Sk].
-    dV = P^T dO; dK = scale * dS^T Q.
+    dV = P^T dO; dK = scale * dS^T Q (scale deferred to the epilogue).
     """
     bk_, d = k_ref.shape
     sq = q_ref.shape[0]
@@ -229,20 +315,24 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     k = k_ref[:]
     v = v_ref[:]
-    mask = mask_ref[bi, pl.ds(ki * bk_, bk_)]
+    if has_mask:
+        mask = mask_ref[bi, pl.ds(ki * bk_, bk_)]
+        bias = jnp.where(mask != 0, 0.0, NEG_INF)  # [bk]
 
     def body(qb, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[pl.ds(qb * bq, bq), :]
+        q = (q_ref[pl.ds(qb * bq, bq), :].astype(jnp.float32)
+             * (scale * LOG2E)).astype(dt)
         do = do_ref[pl.ds(qb * bq, bq), :]
-        lse = lse_ref[pl.ds(qb * bq, bq), 0:1]
+        lse2 = lse_ref[pl.ds(qb * bq, bq), 0:1] * LOG2E
         delta = delta_ref[pl.ds(qb * bq, bq), 0:1]
 
-        s = jax.lax.dot_general(
+        s2 = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [bq, bk]
-        p = jnp.exp(s - lse)
-        p = jnp.where(mask[None, :] != 0, p, 0.0)
+            preferred_element_type=jnp.float32)  # [bq, bk], log2 units
+        if has_mask:
+            s2 = s2 + bias[None, :]
+        p = jnp.exp2(s2 - lse2)
 
         dv_acc = dv_acc + jax.lax.dot_general(
             p.astype(dt), do, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -251,7 +341,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [bq, bk]
-        ds = ((dp - delta) * p * scale).astype(dt)
+        ds = ((dp - delta) * p).astype(dt)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [bk, D]
@@ -260,7 +350,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk, dv = jax.lax.fori_loop(
         0, sq // bq, body,
         (jnp.zeros((bk_, d), jnp.float32), jnp.zeros((bk_, d), jnp.float32)))
-    dk_ref[:] = dk.astype(dk_ref.dtype)
+    # q carried scale*log2e into s2; dk = d(s)/dk needs plain scale * dS^T Q
+    # with Q unscaled, so divide the folded log2e back out: scale/(scale*log2e)
+    dk_ref[:] = (dk * (1.0 / LOG2E)).astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
@@ -269,6 +361,14 @@ def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
                interpret: bool):
     b, sq, h, d = q.shape
     sk = k.shape[1]
+    # the forward may run a single large K block; the backward kernels
+    # keep full K (dQ) / full Q (dKV) resident plus fp32 [bq, bk] blocks,
+    # so clamp their loop blocks to 512. Shrinking is always safe: the
+    # backward derives its own q/k padding, and the forward-made lse
+    # ([B, round_up(sq, fwd bq), H*LANES]) is at least as long as the
+    # backward's q padding, so its blocks stay in range.
+    bq = min(bq, 512)
+    bk = min(bk, 512)
     sq_p = _round_up(sq, bq)
     sk_p = _round_up(sk, bk)
 
@@ -281,7 +381,13 @@ def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
         pad = ((0, 0), (0, sk_p - sk), (0, 0), (0, 0))
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
+    has_mask = mask is not None or sk_p != sk
+    if has_mask:
+        if mask is None:
+            mask = jnp.ones((b, sk), bool)
+        mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
+    else:
+        mask = jnp.zeros((b, sk_p), jnp.int32)  # operand kept for spec parity
     # lse comes already padded from the forward, [B, sq_p, H*LANES]
 
     scale = 1.0 / np.sqrt(d)
@@ -326,7 +432,8 @@ def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
                              memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, bk=bk, scale=scale),
+        functools.partial(_bwd_dq_kernel, bk=bk, scale=scale,
+                          has_mask=has_mask),
         grid=(b, h, sq_p // bq),
         in_specs=[qspec(bq), full_kspec(), full_kspec(), qspec(bq),
                   lm_spec_block(), lm_spec_block(), mask_spec],
@@ -341,7 +448,8 @@ def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
                            lambda bi, hi, i: (bi, i, hi),
                            memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, bq=bq, scale=scale),
+        functools.partial(_bwd_dkv_kernel, bq=bq, scale=scale,
+                          has_mask=has_mask),
         grid=(b, h, sk_p // bk),
         in_specs=[full_qspec(), kv_spec, kv_spec, full_qspec(),
                   lm_spec_full(), lm_spec_full(), mask_spec],
@@ -387,35 +495,63 @@ def _flash_vjp_bwd(bq, bk, interpret, res, g):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_nomask(q, k, v, bq, bk, interpret):
+    return _flash_fwd(q, k, v, None, bq, bk, interpret)
+
+
+def _flash_nomask_vjp_fwd(q, k, v, bq, bk, interpret):
+    out, lse = _flash_fwd(q, k, v, None, bq, bk, interpret, with_lse=True)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_nomask_vjp_bwd(bq, bk, interpret, res, g):
+    q, k, v, out, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, None, out, lse, g, bq, bk, interpret)
+    return dq, dk, dv
+
+
+_flash_nomask.defvjp(_flash_nomask_vjp_fwd, _flash_nomask_vjp_bwd)
+
+
 def flash_attention(q, k, v, mask=None,
-                    bq: int = 512, bk: int = 512,
+                    bq: int = 512, bk: Optional[int] = None,
                     interpret: Optional[bool] = None):
     """Masked flash attention.
 
     q: [B, Sq, H, D]; k/v: [B, Sk, H, D]
     mask: broadcastable key mask; accepts [B, Sk] or [B, 1, 1, Sk] bool
-          (True = attend), or None.
+          (True = attend), or None (compiles a kernel with no mask work).
+    bk=None picks the default K-block policy (see _pick_bk).
     """
     if mask is not None and mask.ndim == 4:
         mask = mask[:, 0, 0, :]
-    if mask is None:
-        mask = jnp.ones((q.shape[0], k.shape[1]), dtype=bool)
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
     sq, sk = q.shape[1], k.shape[1]
     bq = min(bq, _round_up(sq, 128))
-    bk = min(bk, _round_up(sk, 128))
+    bk = _pick_bk(sk, bk)
+    if mask is None:
+        return _flash_nomask(q, k, v, bq, bk, interpret)
     return _flash(q, k, v, mask, bq, bk, interpret)
 
 
 # ---------------------------------------------------------------------------
-# RoPE-fused forward (opt-in via RFTPU_FUSE_ROPE=1)
+# RoPE-fused forward (default; RFTPU_FUSE_ROPE=0 opts out)
 #
-# Rotates q and k in fp32 inside the kernel prologue instead of
-# materializing rotated copies through HBM (the XLA rotate-half fusions
-# cost ~3 ms / 4 views in device profiles). The rotation is orthogonal,
-# so the backward pass rotates the primals forward again (recompute) and
-# inverse-rotates dq/dk with negated sin.
+# Rotates q in fp32 inside the kernel prologue instead of materializing
+# a rotated copy through HBM (the XLA rotate-half fusions cost ~3 ms /
+# 4 views in device profiles). The q-side cos/sin tables are pre-scaled
+# by softmax_scale * log2(e) outside the kernel (rotation is linear), so
+# the rotated q lands pre-scaled for the exp2-domain softmax at zero
+# kernel cost. K is pre-rotated by XLA OUTSIDE the kernel: an in-kernel
+# K rotation would be redone for every q-block (8x redundant VPU work at
+# 4096 tokens) and keeping the K tables VMEM-resident blocks the
+# single-K-block softmax that measures fastest (82% vs 53% MXU util);
+# the XLA pre-rotation is one fused streaming pass (~0.1 ms).
+#
+# The rotation is orthogonal, so the backward pass rotates the primals
+# forward again (recompute) and inverse-rotates dq/dk with negated sin.
 # ---------------------------------------------------------------------------
 
 def _rot(x32, cos, sin):
@@ -425,54 +561,33 @@ def _rot(x32, cos, sin):
     return x32 * cos + rot * sin
 
 
-def _fwd_rope_kernel(q_ref, k_ref, v_ref, mask_ref, cosq_ref, sinq_ref,
-                     cosk_ref, sink_ref, o_ref, lse_ref=None, *,
-                     bk: int, scale: float, with_lse: bool):
-    """Like _fwd_kernel, with fp32 RoPE fused into the prologue.
+def _rot_bhsd(x, cos, sin):
+    """apply_rope on [B, S, H, D] with head-shared [B, S, D] tables."""
+    x32 = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x32[..., half:], x32[..., :half]], axis=-1)
+    return (x32 * cos[:, :, None, :] + rot * sin[:, :, None, :]).astype(x.dtype)
 
-    cosq/sinq: [bq, D] fp32; cosk/sink: [Sk, D] fp32 (head-shared).
-    """
-    bq, d = q_ref.shape
+
+def _fwd_qrope_kernel(q_ref, k_ref, v_ref, mask_ref, cosq_ref, sinq_ref,
+                      o_ref, lse_ref=None, *, bk: int, with_lse: bool):
+    """Masked variant; cosq/sinq arrive pre-scaled by scale*log2(e)."""
     sk = k_ref.shape[0]
-    nkb = sk // bk
     bi = pl.program_id(0)
-    dt = q_ref.dtype
-
     q = _rot(q_ref[:].astype(jnp.float32),
-             cosq_ref[:], sinq_ref[:]).astype(dt)
+             cosq_ref[:], sinq_ref[:]).astype(q_ref.dtype)
+    acc, m2, l = _fwd_body(q, k_ref, v_ref, mask_ref, bi, sk // bk, bk)
+    _fwd_epilogue(acc, m2, l, o_ref, lse_ref, with_lse)
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        k = _rot(k_ref[pl.ds(kb * bk, bk), :].astype(jnp.float32),
-                 cosk_ref[pl.ds(kb * bk, bk), :],
-                 sink_ref[pl.ds(kb * bk, bk), :]).astype(dt)
-        v = v_ref[pl.ds(kb * bk, bk), :]
-        mask = mask_ref[bi, pl.ds(kb * bk, bk)]
 
-        logits = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(mask[None, :] != 0, logits, NEG_INF)
-
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
-
-    acc = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, nkb, body, (acc, m0, l0))
-
-    o_ref[:] = (acc / l).astype(o_ref.dtype)
-    if with_lse:
-        lse_ref[:] = jnp.broadcast_to(m + jnp.log(l), (bq, LANES))
+def _fwd_qrope_kernel_nomask(q_ref, k_ref, v_ref, cosq_ref, sinq_ref,
+                             o_ref, lse_ref=None, *, bk: int,
+                             with_lse: bool):
+    sk = k_ref.shape[0]
+    q = _rot(q_ref[:].astype(jnp.float32),
+             cosq_ref[:], sinq_ref[:]).astype(q_ref.dtype)
+    acc, m2, l = _fwd_body(q, k_ref, v_ref, None, 0, sk // bk, bk)
+    _fwd_epilogue(acc, m2, l, o_ref, lse_ref, with_lse)
 
 
 @functools.partial(jax.jit,
@@ -485,6 +600,9 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     sk = k.shape[1]
     sq_p = _round_up(sq, bq)
     sk_p = _round_up(sk, bk)
+
+    k = _rot_bhsd(k, cosk, sink)  # XLA-side, one fused streaming pass
+
     if sq_p != sq:
         q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
         cosq = jnp.pad(cosq, ((0, 0), (0, sq_p - sq), (0, 0)))
@@ -492,11 +610,16 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     if sk_p != sk:
         k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
-        cosk = jnp.pad(cosk, ((0, 0), (0, sk_p - sk), (0, 0)))
-        sink = jnp.pad(sink, ((0, 0), (0, sk_p - sk), (0, 0)))
-    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
+    has_mask = mask is not None or sk_p != sk
+    if has_mask:
+        if mask is None:
+            mask = jnp.ones((b, sk), bool)
+        mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
 
     scale = 1.0 / np.sqrt(d)
+    # fold softmax scale + exp2 rebase into the q-side rotation tables
+    cosq = cosq * (scale * LOG2E)
+    sinq = sinq * (scale * LOG2E)
     grid = (b, h, sq_p // bq)
 
     q2 = q.reshape(b, sq_p, h * d)
@@ -518,11 +641,6 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
                             lambda bi, hi, qi: (bi, qi, 0),
                             memory_space=pltpu.VMEM)
 
-    def rope_k_spec():
-        return pl.BlockSpec((None, sk_p, d),
-                            lambda bi, hi, qi: (bi, 0, 0),
-                            memory_space=pltpu.VMEM)
-
     out_shape = [jax.ShapeDtypeStruct((b, sq_p, h * d), q.dtype)]
     out_specs = [fold_spec(bq)]
     if with_lse:
@@ -532,21 +650,30 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
                                       lambda bi, hi, qi: (bi, qi, hi),
                                       memory_space=pltpu.VMEM))
 
+    in_specs = [fold_spec(bq), fold_full_k(), fold_full_k()]
+    operands = [q2, k2, v2]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((b, sk_p), lambda bi, hi, qi: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask)
+        kernel = functools.partial(_fwd_qrope_kernel, bk=bk,
+                                   with_lse=with_lse)
+    else:
+        kernel = functools.partial(_fwd_qrope_kernel_nomask, bk=bk,
+                                   with_lse=with_lse)
+    in_specs += [rope_q_spec(), rope_q_spec()]
+    operands += [cosq, sinq]
+
     res = pl.pallas_call(
-        functools.partial(_fwd_rope_kernel, bk=bk, scale=scale,
-                          with_lse=with_lse),
+        kernel,
         grid=grid,
-        in_specs=[fold_spec(bq), fold_full_k(), fold_full_k(),
-                  pl.BlockSpec((b, sk_p), lambda bi, hi, qi: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  rope_q_spec(), rope_q_spec(),
-                  rope_k_spec(), rope_k_spec()],
+        in_specs=in_specs,
         out_specs=out_specs if with_lse else out_specs[0],
         out_shape=out_shape if with_lse else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'parallel')),
         interpret=interpret,
-    )(q2, k2, v2, mask, cosq, sinq, cosk, sink)
+    )(*operands)
 
     if with_lse:
         out, lse = res
@@ -556,14 +683,6 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     if sq_p != sq:
         out = out[:, :sq, :, :]
     return (out, lse) if with_lse else out
-
-
-def _rot_bhsd(x, cos, sin):
-    """apply_rope on [B, S, H, D] with head-shared [B, S, D] tables."""
-    x32 = x.astype(jnp.float32)
-    half = x.shape[-1] // 2
-    rot = jnp.concatenate([-x32[..., half:], x32[..., :half]], axis=-1)
-    return (x32 * cos[:, :, None, :] + rot * sin[:, :, None, :]).astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
@@ -597,18 +716,48 @@ def _flash_rope_vjp_bwd(bq, bk, interpret, res, g):
 _flash_rope.defvjp(_flash_rope_vjp_fwd, _flash_rope_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _flash_rope_nomask(q, k, v, cosq, sinq, cosk, sink, bq, bk, interpret):
+    return _flash_fwd_rope(q, k, v, None, cosq, sinq, cosk, sink,
+                           bq, bk, interpret)
+
+
+def _flash_rope_nomask_vjp_fwd(q, k, v, cosq, sinq, cosk, sink,
+                               bq, bk, interpret):
+    out, lse = _flash_fwd_rope(q, k, v, None, cosq, sinq, cosk, sink,
+                               bq, bk, interpret, with_lse=True)
+    return out, (q, k, v, cosq, sinq, cosk, sink, out, lse)
+
+
+def _flash_rope_nomask_vjp_bwd(bq, bk, interpret, res, g):
+    q, k, v, cosq, sinq, cosk, sink, out, lse = res
+    q_rot = _rot_bhsd(q, cosq, sinq)
+    k_rot = _rot_bhsd(k, cosk, sink)
+    dq_rot, dk_rot, dv = _flash_bwd(q_rot, k_rot, v, None, out, lse, g,
+                                    bq, bk, interpret)
+    dq = _rot_bhsd(dq_rot, cosq, -sinq)
+    dk = _rot_bhsd(dk_rot, cosk, -sink)
+    zq = jnp.zeros_like(cosq)
+    zk = jnp.zeros_like(cosk)
+    return dq, dk, dv, zq, zq, zk, zk
+
+
+_flash_rope_nomask.defvjp(_flash_rope_nomask_vjp_fwd,
+                          _flash_rope_nomask_vjp_bwd)
+
+
 def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
-                         bq: int = 512, bk: int = 512,
+                         bq: int = 512, bk: Optional[int] = None,
                          interpret=None):
-    """Flash attention with fp32 RoPE fused into the kernel prologue.
+    """Flash attention with fp32 q-RoPE fused into the kernel prologue
+    (K is pre-rotated by one fused XLA pass — see module docstring).
 
     q/k/v: [B, S, H, D]; cos/sin: [B, S, 1, D] or [B, S, D] fp32
-    (head-shared); mask: [B, Sk] or [B, 1, 1, Sk] bool, True = attend.
+    (head-shared); mask: [B, Sk] or [B, 1, 1, Sk] bool, True = attend,
+    or None (compiles a kernel with no mask work).
     """
     if mask is not None and mask.ndim == 4:
         mask = mask[:, 0, 0, :]
-    if mask is None:
-        mask = jnp.ones((q.shape[0], k.shape[1]), dtype=bool)
     if cosq.ndim == 4:
         cosq, sinq = cosq[:, :, 0, :], sinq[:, :, 0, :]
     if cosk.ndim == 4:
@@ -617,11 +766,14 @@ def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
         interpret = jax.devices()[0].platform != 'tpu'
     sq, sk = q.shape[1], k.shape[1]
     bq = min(bq, _round_up(sq, 128))
-    bk = min(bk, _round_up(sk, 128))
+    bk = _pick_bk(sk, bk)
     # stop-gradient on the tables: positions are no-grad in the reference
     cosq = jax.lax.stop_gradient(cosq.astype(jnp.float32))
     sinq = jax.lax.stop_gradient(sinq.astype(jnp.float32))
     cosk = jax.lax.stop_gradient(cosk.astype(jnp.float32))
     sink = jax.lax.stop_gradient(sink.astype(jnp.float32))
+    if mask is None:
+        return _flash_rope_nomask(q, k, v, cosq, sinq, cosk, sink,
+                                  bq, bk, interpret)
     return _flash_rope(q, k, v, mask, cosq, sinq, cosk, sink,
                        bq, bk, interpret)

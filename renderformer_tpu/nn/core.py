@@ -13,6 +13,7 @@ Numerics notes for parity with the reference:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -94,11 +95,32 @@ def norm_init(norm_type: str, dim: int, dtype=jnp.float32):
     return params
 
 
+@functools.lru_cache(maxsize=1)
+def _fused_norm_enabled() -> bool:
+    """Pallas fused RMSNorm (ops/fused_norm.py), opt-in via
+    RFTPU_FUSE_NORM=1. Measured on v5e at v1-base 512^2: standalone the
+    kernel matches XLA (both ~2x the BW floor at [8,4096,768] bf16), and
+    end-to-end it is 2.5% SLOWER (15.9 vs 16.3 M rays/s) — the kernel
+    boundary blocks XLA from fusing the norm into neighboring consumers.
+    Kept for models/shapes where XLA's norm fusion misbehaves (it did
+    before the RoPE-fused attention landed: fp32 rotate-half
+    materializations CSE'd with the norm upcasts at 1.7 ms apiece)."""
+    import os
+    if os.environ.get('RFTPU_FUSE_NORM', '0') == '0':
+        return False
+    return jax.devices()[0].platform == 'tpu'
+
+
 def rms_norm(params, x, eps: float = TORCH_DEFAULT_RMS_EPS):
     """Statistics accumulate in fp32. On low-precision inputs the rescale
     multiply stays in x.dtype: if any fp32 use of x exists alongside the
     reduction, XLA CSEs the upcast and materializes an fp32 copy of the
     whole activation (measured ~0.85 ms per norm at [4,4096,768])."""
+    if _fused_norm_enabled():
+        from renderformer_tpu.ops.fused_norm import (
+            fused_rms_norm, fused_rms_norm_supported)
+        if fused_rms_norm_supported(x, params['scale']):
+            return fused_rms_norm(x, params['scale'], eps)
     dtype = x.dtype
     ss = jnp.einsum('...d,...d->...', x, x,
                     preferred_element_type=jnp.float32)

@@ -72,6 +72,21 @@ def _fuse_rope_enabled() -> bool:
     return os.environ.get('RFTPU_FUSE_ROPE', '1') != '0'
 
 
+def _ring_mesh_for(bs: int, sq: int, sk: int):
+    """The active ring mesh if sp_mode='ring' is on AND the shapes divide
+    the mesh axes (otherwise fall back to the gspmd path silently —
+    correctness never depends on the strategy)."""
+    from renderformer_tpu.parallel.sharding import active_ring_mesh
+    mesh = active_ring_mesh()
+    if mesh is None:
+        return None
+    n = mesh.shape.get('seq', 1)
+    nd = mesh.shape.get('data', 1)
+    if n <= 1 or sq % n or sk % n or bs % nd:
+        return None
+    return mesh
+
+
 def attend(q, k, v, mask=None, impl: str = 'xla'):
     """Dispatch to the configured attention backend.
 
@@ -188,6 +203,26 @@ class MultiHeadAttention:
         attn_mask = None
         if mask is not None:
             attn_mask = mask[:, None, None, :]  # [B, 1, 1, Sk]
+
+        ring_mesh = _ring_mesh_for(bs, sq, sk)
+        if ring_mesh is not None:
+            # sequence-parallel ring attention (sp_mode='ring'): rotate
+            # q/k with RoPE first — a token's rotation travels with it —
+            # then run the ring over the mesh's seq axis.
+            from renderformer_tpu.parallel.ring_attention import (
+                ring_attention)
+            if rope_cos is not None:
+                q = apply_rope(q, rope_cos, rope_sin)
+                if rope_ctx_cos is None:
+                    k = apply_rope(k, rope_cos, rope_sin)
+                else:
+                    k = apply_rope(k, rope_ctx_cos, rope_ctx_sin)
+            out = ring_attention(
+                q.astype(v.dtype), k.astype(v.dtype), v, mask,
+                mesh=ring_mesh,
+                impl='flash' if impl == 'flash' else 'xla')
+            out = out.reshape(bs, sq, -1)
+            return dense(params['out_proj'], out).astype(out_dtype)
 
         if (rope_cos is not None and impl == 'flash'
                 and _fuse_rope_enabled()):

@@ -48,9 +48,22 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
 
 
 @contextlib.contextmanager
-def use_sharding(mesh: Mesh, rules: Optional[Dict[str, P]] = None):
-    """Activate sharding constraints for model code traced inside."""
-    token = _ACTIVE.set((mesh, dict(DEFAULT_RULES if rules is None else rules)))
+def use_sharding(mesh: Mesh, rules: Optional[Dict[str, P]] = None,
+                 sp_mode: str = 'gspmd'):
+    """Activate sharding constraints for model code traced inside.
+
+    sp_mode selects the sequence-parallel attention strategy:
+      * 'gspmd' (default): constraints only; XLA all-gathers KV for the
+        seq-sharded attention sites (the right call at ≤8k triangles,
+        SURVEY.md §7.3);
+      * 'ring': attention sites with key-padding masks run
+        :mod:`renderformer_tpu.parallel.ring_attention` — KV shards stay
+        put and rotate over ICI; peak memory O(Sk / ring size).
+    """
+    if sp_mode not in ('gspmd', 'ring'):
+        raise ValueError(f'unknown sp_mode {sp_mode!r}')
+    token = _ACTIVE.set(
+        (mesh, dict(DEFAULT_RULES if rules is None else rules), sp_mode))
     try:
         yield
     finally:
@@ -62,13 +75,21 @@ def active_mesh() -> Optional[Mesh]:
     return ctx[0] if ctx else None
 
 
+def active_ring_mesh() -> Optional[Mesh]:
+    """The active mesh if sp_mode == 'ring' was requested, else None."""
+    ctx = _ACTIVE.get()
+    if ctx is None or ctx[2] != 'ring':
+        return None
+    return ctx[0]
+
+
 def constrain(x, name: str):
     """Apply the active sharding rule for logical name ``name`` (no-op if
     no context active or no rule defined)."""
     ctx = _ACTIVE.get()
     if ctx is None:
         return x
-    mesh, rules = ctx
+    mesh, rules = ctx[0], ctx[1]
     spec = rules.get(name)
     if spec is None:
         return x

@@ -98,18 +98,24 @@ class RenderingPipeline:
         self.attn_impl = (attn_impl if attn_impl != 'auto'
                           else self.runtime.attn_impl)
         self.mesh = mesh
+        self.sp_mode = 'gspmd'
         self._jitted = {}
         self._cast_params = {}
         if runtime is not None and tuple(runtime.mesh_shape) != (1, 1):
             self.use_mesh(tuple(runtime.mesh_shape))
 
-    def use_mesh(self, mesh_shape=None):
-        """Enable sharded inference over all visible devices."""
+    def use_mesh(self, mesh_shape=None, sp_mode: str = 'gspmd'):
+        """Enable sharded inference over all visible devices.
+
+        sp_mode: 'gspmd' (XLA all-gather-KV for seq-sharded attention) or
+        'ring' (ring attention — KV shards rotate over ICI; use for
+        triangle contexts that don't fit a single chip's gather)."""
         from renderformer_tpu.parallel.sharding import make_mesh, replicated
         if mesh_shape is None:
             n = len(jax.devices())
             mesh_shape = (1, n)  # batch=1 friendly: sequence parallelism
         self.mesh = make_mesh(mesh_shape)
+        self.sp_mode = sp_mode
         self.params = jax.device_put(self.params, replicated(self.mesh))
         self._jitted = {}
         return self
@@ -171,7 +177,7 @@ class RenderingPipeline:
             view_dtype = _DTYPES[view_precision]
         impl = self._resolve_impl()
 
-        key = (resolution, str(dtype), str(view_dtype), impl)
+        key = (resolution, str(dtype), str(view_dtype), impl, self.sp_mode)
         if key not in self._jitted:
             fn = functools.partial(
                 render_fn, model=self.model, resolution=resolution,
@@ -212,7 +218,7 @@ class RenderingPipeline:
             args = tuple(jax.device_put(a, data_sh) for a in args)
             # constraints bake at trace time (first call) — keep the
             # sharding-rules context active around the call
-            with use_sharding(self.mesh):
+            with use_sharding(self.mesh, sp_mode=self.sp_mode):
                 return fn(params, *args)
         return fn(params, *args)
 

@@ -97,9 +97,26 @@ def _resize_axis(x, axis: int, n_out: int):
     return lo * (1 - f) + hi * f
 
 
+def _fuse_resize_enabled() -> bool:
+    """Pallas banded-matmul resize on TPU (see ops/fused_resize.py).
+
+    Default on: measured 2-6x per-site over the gather path on v5e at
+    the DPT refinenet shapes. RFTPU_FUSE_RESIZE=0 opts out.
+    """
+    import os
+    return os.environ.get('RFTPU_FUSE_RESIZE', '1') != '0'
+
+
 def resize_bilinear_align_corners(x, out_hw: Tuple[int, int]):
     """x: [B, H, W, C] -> [B, out_h, out_w, C]; gathers keep NHWC layout."""
     out_h, out_w = out_hw
+    if (x.shape[1], x.shape[2]) == (out_h, out_w):
+        return x
+    if _fuse_resize_enabled():
+        from renderformer_tpu.ops.fused_resize import (
+            fused_resize, fused_resize_supported)
+        if fused_resize_supported(x, out_hw):
+            return fused_resize(x, out_hw)
     if x.shape[1] != out_h:
         x = _resize_axis(x, 1, out_h)
     if x.shape[2] != out_w:

@@ -26,6 +26,9 @@ from renderformer_tpu.parallel.sharding import constrain
 @dataclass(frozen=True)
 class RenderFormer:
     config: RenderFormerConfig
+    # gradient checkpointing on every transformer block (reference
+    # train.py:302-305); affects autodiff memory only, not values.
+    remat: bool = False
 
     @property
     def encoder(self) -> TransformerEncoder:
@@ -42,11 +45,12 @@ class RenderFormer:
             rope_dim=cfg.rope_dim,
             rope_type=cfg.rope_type,
             rope_double_max_freq=cfg.rope_double_max_freq,
+            remat=self.remat,
         )
 
     @property
     def view_transformer(self) -> ViewTransformer:
-        return ViewTransformer(self.config)
+        return ViewTransformer(self.config, remat=self.remat)
 
     def init(self, key):
         cfg = self.config

@@ -23,11 +23,13 @@ from renderformer_tpu.parallel.sharding import constrain
 @dataclass(frozen=True)
 class ViewTransformer:
     config: RenderFormerConfig
+    remat: bool = False
 
     @property
     def decoder(self) -> TransformerDecoder:
         cfg = self.config
         return TransformerDecoder(
+            remat=self.remat,
             num_layers=cfg.view_transformer_n_layers,
             num_heads=cfg.view_transformer_n_heads,
             hidden_dim=cfg.view_transformer_latent_dim,

@@ -502,8 +502,10 @@ class TransformerEncoder:
             rope_cos, rope_sin = freqs_to_cos_sin(ang, head_dim=self.head_dim)
 
         layer = self.layer
-        fn = layer.__call__
         if self.remat:
+            # gradient checkpointing (reference train.py:302-305): static
+            # args (impl) stay closed over; mask/rope tensors are cheap
+            # residuals jax.checkpoint keeps via closure conversion.
             fn = jax.checkpoint(
                 lambda p, y: layer(p, y, mask=mask, rope_cos=rope_cos,
                                    rope_sin=rope_sin, impl=impl))
@@ -580,11 +582,19 @@ class TransformerDecoder:
         outs = []
         for idx, lp in enumerate(params['layers']):
             layer = self.layer(idx)
-            fn = layer.__call__
             if self.remat:
-                fn = jax.checkpoint(fn, static_argnums=())
-            x = fn(lp, x, ctx, mask, rope_cos, rope_sin,
-                   rope_ctx_cos, rope_ctx_sin, patch_h, patch_w, impl)
+                # close the non-jax args (patch dims, impl string) and the
+                # shared tensors over the checkpointed callable — passing
+                # them positionally would make jax.checkpoint trace the
+                # static strings/ints as jax types (round-1 decoder bug).
+                fn = jax.checkpoint(
+                    lambda p, y, c, _l=layer: _l(
+                        p, y, c, mask, rope_cos, rope_sin,
+                        rope_ctx_cos, rope_ctx_sin, patch_h, patch_w, impl))
+                x = fn(lp, x, ctx)
+            else:
+                x = layer(lp, x, ctx, mask, rope_cos, rope_sin,
+                          rope_ctx_cos, rope_ctx_sin, patch_h, patch_w, impl)
             if idx in out_layers:
                 outs.append(x)
         return x, outs

@@ -91,6 +91,11 @@ class RenderingPipeline:
 
     def __init__(self, model: RenderFormer, params, attn_impl: str = 'auto',
                  mesh=None, runtime: Optional[RuntimeConfig] = None):
+        if runtime is not None and runtime.remat and not model.remat:
+            # gradient checkpointing — matters only when the pipeline is
+            # differentiated through (fine-tuning on rendered outputs)
+            import dataclasses
+            model = dataclasses.replace(model, remat=True)
         self.model = model
         self.params = params
         self.config = model.config

@@ -34,6 +34,7 @@ class TrainConfig:
     view_precision: str = ''   # '' -> reference semantics (fp32 island
     #                               under half, bf16 under fp32)
     min_lr_scale: float = 0.0  # cosine floor (eta_min / lr)
+    remat: bool = False  # gradient checkpointing (ref train.py:302-305)
     skip_nonfinite: bool = True
     debug_nans: bool = False       # jax_debug_nans (SURVEY.md §5 sanitizers)
     deterministic: bool = False    # bitwise-reproducible XLA reductions
@@ -87,6 +88,8 @@ def make_train_step(model: RenderFormer, tx: optax.GradientTransformation,
     batch: dict of triangles [B,N,3,3], texture [B,N,13,ps,ps], mask [B,N],
     vn [B,N,3,3], c2w [B,V,4,4], fov [B,V,1], gt [B,V,H,W,3].
     """
+    if tc.remat and not model.remat:
+        model = dataclasses.replace(model, remat=True)
     dtype = jnp.bfloat16 if tc.precision in ('bfloat16', 'bf16') else jnp.float32
     if tc.view_precision:
         view_dtype = (jnp.bfloat16 if tc.view_precision in ('bfloat16', 'bf16')

@@ -70,6 +70,7 @@ def main():
         num_epochs=int(t.get('num_epochs', 3)),
         precision=precision,
         resolution=int(d.get('max_resolution', 256)),
+        remat=bool(mem.get('use_gradient_checkpointing', False)),
     )
     trainer_cfg = TrainerConfig(
         train=train_cfg,

@@ -45,6 +45,7 @@ class RenderFormer:
             rope_dim=cfg.rope_dim,
             rope_type=cfg.rope_type,
             rope_double_max_freq=cfg.rope_double_max_freq,
+            dropout=cfg.dropout,
             remat=self.remat,
         )
 
@@ -149,7 +150,8 @@ class RenderFormer:
                  rays_o, rays_d, tri_vpos_view_tf,
                  impl: str = 'xla',
                  dtype=jnp.float32,
-                 view_dtype: Optional[jnp.dtype] = None):
+                 view_dtype: Optional[jnp.dtype] = None,
+                 dropout_rng=None):
         """Full forward (renderformer.py:171-206).
 
         tri_vpos:         [B, N, 9]
@@ -173,11 +175,16 @@ class RenderFormer:
             {k: v for k, v in params.items() if k != 'view_transformer'},
             dtype), 'view_transformer': view_params}
 
+        enc_rng = view_rng = None
+        if dropout_rng is not None and cfg.dropout > 0.0:
+            enc_rng, view_rng = jax.random.split(dropout_rng)
+
         seq, mask_padded, rope_pos = self.construct_seq(
             params, tri_vpos, texture_patches, valid_mask, vns, dtype=dtype)
         seq = constrain(seq.astype(dtype), 'tokens')
         seq = self.encoder(params['transformer'], seq,
-                           mask=mask_padded, triangle_pos=rope_pos, impl=impl)
+                           mask=mask_padded, triangle_pos=rope_pos, impl=impl,
+                           dropout_rng=enc_rng)
         seq = constrain(seq, 'tokens')
 
         b, v = rays_o.shape[0], rays_o.shape[1]
@@ -198,5 +205,6 @@ class RenderFormer:
 
         img = self.view_transformer(
             params['view_transformer'], rays_o_f, rays_d_f,
-            seq_bv, pos_seq, mask_bv, impl=impl, dtype=view_dtype)
+            seq_bv, pos_seq, mask_bv, impl=impl, dtype=view_dtype,
+            dropout_rng=view_rng)
         return img.reshape(b, v, *img.shape[1:])

@@ -44,6 +44,7 @@ class ViewTransformer:
             rope_dim=cfg.view_rope_dim,
             rope_type=cfg.rope_type,
             rope_double_max_freq=cfg.rope_double_max_freq,
+            dropout=cfg.dropout,
         )
 
     @property
@@ -85,7 +86,7 @@ class ViewTransformer:
         return params
 
     def __call__(self, params, camera_o, ray_map, tri_tokens, tri_pos,
-                 valid_mask, impl='xla', dtype=jnp.float32):
+                 valid_mask, impl='xla', dtype=jnp.float32, dropout_rng=None):
         """
         Args:
             camera_o:  [B, 3] camera origins.
@@ -135,7 +136,8 @@ class ViewTransformer:
         seq, taps = self.decoder(
             params['transformer'], ray_tokens, tri_tokens,
             mask=valid_mask, triangle_pos=tri_pos, ray_pos=ray_token_pos,
-            out_layers=out_layers, patch_h=patch_h, patch_w=patch_w, impl=impl)
+            out_layers=out_layers, patch_h=patch_h, patch_w=patch_w, impl=impl,
+            dropout_rng=dropout_rng)
 
         if cfg.use_dpt_decoder:
             # DPT runs in the stage-2 dtype, like the reference where it

@@ -29,6 +29,7 @@ from renderformer_tpu.nn.core import (
     apply_norm,
     dense,
     dense_init,
+    dropout,
     gelu,
     norm_init,
     silu,
@@ -112,6 +113,7 @@ class FeedForward:
     hidden_dim: int
     activation: str = 'swiglu'  # 'swiglu' | 'gelu'
     bias: bool = False
+    dropout: float = 0.0
 
     def init(self, key):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -123,12 +125,20 @@ class FeedForward:
             params['w3'] = dense_init(k3, self.dim, self.hidden_dim, self.bias)
         return params
 
-    def __call__(self, params, x):
+    def __call__(self, params, x, dropout_rng=None):
+        # dropout on the hidden and output activations, matching the
+        # reference FFNs (attention.py:57,82)
+        k1 = k2 = None
+        if dropout_rng is not None and self.dropout > 0.0:
+            k1, k2 = jax.random.split(dropout_rng)
         if self.activation == 'swiglu':
-            return dense(params['w2'], silu(dense(params['w1'], x)) * dense(params['w3'], x))
-        if self.activation == 'gelu':
-            return dense(params['w2'], gelu(dense(params['w1'], x)))
-        raise ValueError(f'Unsupported activation: {self.activation}')
+            h = silu(dense(params['w1'], x)) * dense(params['w3'], x)
+        elif self.activation == 'gelu':
+            h = gelu(dense(params['w1'], x))
+        else:
+            raise ValueError(f'Unsupported activation: {self.activation}')
+        h = dropout(h, self.dropout, k1)
+        return dropout(dense(params['w2'], h), self.dropout, k2)
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +376,7 @@ class AttentionLayer:
     use_swin_attn: bool = False
     window_size: int = 8
     shift_size: int = 0
+    dropout: float = 0.0
 
     @property
     def mha(self) -> MultiHeadAttention:
@@ -389,7 +400,8 @@ class AttentionLayer:
     def ffn(self) -> FeedForward:
         return FeedForward(
             dim=self.query_dim, hidden_dim=self.ffn_hidden_dim,
-            activation=self.activation, bias=self.bias)
+            activation=self.activation, bias=self.bias,
+            dropout=self.dropout)
 
     def init(self, key):
         keys = jax.random.split(key, 4)
@@ -410,8 +422,14 @@ class AttentionLayer:
                  rope_cos=None, rope_sin=None,
                  rope_ctx_cos=None, rope_ctx_sin=None,
                  patch_h: Optional[int] = None, patch_w: Optional[int] = None,
-                 impl: str = 'xla'):
+                 impl: str = 'xla', dropout_rng=None):
         bs, sq = query.shape[0], query.shape[1]
+
+        # layer-level dropout at each residual join + the FFN-internal
+        # dropouts, matching the reference (attention.py:512-526)
+        keys = [None] * 4
+        if dropout_rng is not None and self.dropout > 0.0:
+            keys = list(jax.random.split(dropout_rng, 4))
 
         q = apply_norm(self.norm_type, params['query_norm'], query, ATTN_EPS)
         if self.kv_dim is None:
@@ -419,9 +437,10 @@ class AttentionLayer:
         else:
             kv = apply_norm(self.norm_type, params['kv_norm'], kv, ATTN_EPS)
 
-        query = query + self.mha(
+        attn_out = self.mha(
             params['multihead_attn'], q, kv, kv, mask,
             rope_cos, rope_sin, rope_ctx_cos, rope_ctx_sin, impl=impl)
+        query = query + dropout(attn_out, self.dropout, keys[0])
 
         if self.add_self_attn:
             q = apply_norm(self.norm_type, params['self_attn_norm'], query, ATTN_EPS)
@@ -433,10 +452,11 @@ class AttentionLayer:
                 sa = self.self_attn_module(
                     params['self_attn'], q, q, q, None, rope_cos, rope_sin,
                     impl=impl)
-            query = query + sa
+            query = query + dropout(sa, self.dropout, keys[1])
 
         q = apply_norm(self.norm_type, params['ffn_norm'], query, ATTN_EPS)
-        query = query + self.ffn(params['ffn'], q)
+        ffn_out = self.ffn(params['ffn'], q, dropout_rng=keys[2])
+        query = query + dropout(ffn_out, self.dropout, keys[3])
         return query
 
 
@@ -472,6 +492,7 @@ class TransformerEncoder:
     rope_type: str = 'triangle'
     rope_double_max_freq: bool = False
     qk_norm: bool = False
+    dropout: float = 0.0
     remat: bool = False
 
     @property
@@ -484,7 +505,7 @@ class TransformerEncoder:
             query_dim=self.hidden_dim, num_heads=self.num_heads,
             ffn_hidden_dim=self.ffn_hidden_dim, bias=self.bias,
             activation=self.activation, norm_type=self.norm_type,
-            qk_norm=self.qk_norm)
+            qk_norm=self.qk_norm, dropout=self.dropout)
 
     def init(self, key):
         keys = jax.random.split(key, self.num_layers)
@@ -495,11 +516,16 @@ class TransformerEncoder:
                 rope_frequencies(rd, self.rope_double_max_freq))
         return params
 
-    def __call__(self, params, x, mask=None, triangle_pos=None, impl='xla'):
+    def __call__(self, params, x, mask=None, triangle_pos=None, impl='xla',
+                 dropout_rng=None):
         rope_cos = rope_sin = None
         if self.rope_dim is not None:
             ang = triangle_freqs(triangle_pos, params['rope_freqs'])
             rope_cos, rope_sin = freqs_to_cos_sin(ang, head_dim=self.head_dim)
+
+        rngs = [None] * self.num_layers
+        if dropout_rng is not None and self.dropout > 0.0:
+            rngs = list(jax.random.split(dropout_rng, self.num_layers))
 
         layer = self.layer
         if self.remat:
@@ -507,14 +533,15 @@ class TransformerEncoder:
             # args (impl) stay closed over; mask/rope tensors are cheap
             # residuals jax.checkpoint keeps via closure conversion.
             fn = jax.checkpoint(
-                lambda p, y: layer(p, y, mask=mask, rope_cos=rope_cos,
-                                   rope_sin=rope_sin, impl=impl))
-            for lp in params['layers']:
-                x = fn(lp, x)
+                lambda p, y, r: layer(p, y, mask=mask, rope_cos=rope_cos,
+                                      rope_sin=rope_sin, impl=impl,
+                                      dropout_rng=r))
+            for lp, r in zip(params['layers'], rngs):
+                x = fn(lp, x, r)
             return x
-        for lp in params['layers']:
+        for lp, r in zip(params['layers'], rngs):
             x = layer(lp, x, mask=mask, rope_cos=rope_cos, rope_sin=rope_sin,
-                      impl=impl)
+                      impl=impl, dropout_rng=r)
         return x
 
 
@@ -539,6 +566,7 @@ class TransformerDecoder:
     rope_dim: Optional[int] = None
     rope_type: str = 'triangle'
     rope_double_max_freq: bool = False
+    dropout: float = 0.0
     remat: bool = False
 
     @property
@@ -556,7 +584,8 @@ class TransformerDecoder:
             norm_type=self.norm_type, qk_norm=self.qk_norm,
             add_self_attn=self.include_self_attn,
             use_swin_attn=self.use_swin_attn,
-            window_size=self.window_size, shift_size=shift)
+            window_size=self.window_size, shift_size=shift,
+            dropout=self.dropout)
 
     def init(self, key):
         keys = jax.random.split(key, self.num_layers)
@@ -570,7 +599,7 @@ class TransformerDecoder:
 
     def __call__(self, params, x, ctx, mask=None, triangle_pos=None,
                  ray_pos=None, out_layers: Sequence[int] = (),
-                 patch_h=None, patch_w=None, impl='xla'):
+                 patch_h=None, patch_w=None, impl='xla', dropout_rng=None):
         rope_cos = rope_sin = rope_ctx_cos = rope_ctx_sin = None
         if self.rope_dim is not None:
             ang = triangle_freqs(ray_pos, params['rope_freqs'])
@@ -578,6 +607,10 @@ class TransformerDecoder:
             ang_ctx = triangle_freqs(triangle_pos, params['rope_freqs'])
             rope_ctx_cos, rope_ctx_sin = freqs_to_cos_sin(
                 ang_ctx, head_dim=self.head_dim)
+
+        rngs = [None] * self.num_layers
+        if dropout_rng is not None and self.dropout > 0.0:
+            rngs = list(jax.random.split(dropout_rng, self.num_layers))
 
         outs = []
         for idx, lp in enumerate(params['layers']):
@@ -588,13 +621,15 @@ class TransformerDecoder:
                 # them positionally would make jax.checkpoint trace the
                 # static strings/ints as jax types (round-1 decoder bug).
                 fn = jax.checkpoint(
-                    lambda p, y, c, _l=layer: _l(
+                    lambda p, y, c, r, _l=layer: _l(
                         p, y, c, mask, rope_cos, rope_sin,
-                        rope_ctx_cos, rope_ctx_sin, patch_h, patch_w, impl))
-                x = fn(lp, x, ctx)
+                        rope_ctx_cos, rope_ctx_sin, patch_h, patch_w, impl,
+                        dropout_rng=r))
+                x = fn(lp, x, ctx, rngs[idx])
             else:
                 x = layer(lp, x, ctx, mask, rope_cos, rope_sin,
-                          rope_ctx_cos, rope_ctx_sin, patch_h, patch_w, impl)
+                          rope_ctx_cos, rope_ctx_sin, patch_h, patch_w, impl,
+                          dropout_rng=rngs[idx])
             if idx in out_layers:
                 outs.append(x)
         return x, outs

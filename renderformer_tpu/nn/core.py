@@ -178,3 +178,14 @@ def elu(x, alpha: float = 1.0):
 
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def dropout(x, rate: float, rng):
+    """Inverted dropout (torch nn.Dropout semantics: scale kept units by
+    1/(1-p) at train time).  ``rng=None`` or ``rate<=0`` is the eval path —
+    identity, no graph change."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype), 0).astype(x.dtype)

@@ -30,7 +30,7 @@ _DTYPES = {
 
 def render_fn(params, triangles, texture, mask, vn, c2w, fov, *,
               model: RenderFormer, resolution: int,
-              dtype, view_dtype, impl: str):
+              dtype, view_dtype, impl: str, dropout_rng=None):
     """Pure jittable render step.
 
     triangles [bs, N, 3, 3], texture [bs, N, C, ps, ps], mask [bs, N] bool,
@@ -73,6 +73,7 @@ def render_fn(params, triangles, texture, mask, vn, c2w, fov, *,
         impl=impl,
         dtype=dtype,
         view_dtype=view_dtype,
+        dropout_rng=dropout_rng,
     )  # [bs, V, H, W, out_dim] NHWC
 
     imgs = imgs.astype(jnp.float32)

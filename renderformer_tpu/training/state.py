@@ -35,6 +35,7 @@ class TrainConfig:
     #                               under half, bf16 under fp32)
     min_lr_scale: float = 0.0  # cosine floor (eta_min / lr)
     remat: bool = False  # gradient checkpointing (ref train.py:302-305)
+    seed: int = 0        # dropout rng seed (folded with the step counter)
     skip_nonfinite: bool = True
     debug_nans: bool = False       # jax_debug_nans (SURVEY.md §5 sanitizers)
     deterministic: bool = False    # bitwise-reproducible XLA reductions
@@ -97,18 +98,25 @@ def make_train_step(model: RenderFormer, tx: optax.GradientTransformation,
     else:
         view_dtype = jnp.float32 if dtype == jnp.bfloat16 else jnp.bfloat16
 
-    def loss_fn(params, batch):
+    # dropout is active only when the architecture asks for it; the rng is
+    # derived from the step counter -> deterministic, resume-stable
+    use_dropout = model.config.dropout > 0.0
+
+    def loss_fn(params, batch, dropout_rng=None):
         imgs = render_fn(
             params, batch['triangles'], batch['texture'], batch['mask'],
             batch['vn'], batch['c2w'], batch['fov'],
             model=model, resolution=tc.resolution,
-            dtype=dtype, view_dtype=view_dtype, impl=impl)
+            dtype=dtype, view_dtype=view_dtype, impl=impl,
+            dropout_rng=dropout_rng)
         loss = jnp.mean(jnp.square(imgs - batch['gt'].astype(imgs.dtype)))
         return loss, imgs
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng = (jax.random.fold_in(jax.random.key(tc.seed), state.step)
+               if use_dropout else None)
         (loss, _), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+            loss_fn, has_aux=True)(state.params, batch, rng)
         gnorm = optax.global_norm(grads)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

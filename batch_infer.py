@@ -48,6 +48,7 @@ def main():
     from renderformer_tpu.io.h5 import SceneFolderDataset
     from renderformer_tpu.io.image import write_exr, write_png, write_video
     from renderformer_tpu.pipelines.rendering_pipeline import RenderingPipeline
+    from renderformer_tpu.utils.prefetch import AsyncWriter, prefetch
     from renderformer_tpu.utils.tone_map import ToneMapper
 
     pipeline = RenderingPipeline.from_pretrained(
@@ -66,17 +67,36 @@ def main():
     if len(dataset) == 0:
         return 1
     if args.batch_size > 1 and args.padding_length is None:
-        print('batch_size > 1 requires --padding_length; falling back to 1')
+        print('NOTICE: batch_size > 1 requires --padding_length '
+              '(static shapes across frames); falling back to batch_size=1 '
+              '— pass --padding_length to batch frames together')
         args.batch_size = 1
 
     output_dir = args.output_dir or args.h5_folder
     os.makedirs(output_dir, exist_ok=True)
-    video_frames = []
+    # ordered video frames, filled by the writer pool
+    video_slots = {}
 
     from renderformer_tpu.utils.profiling import ThroughputMeter
     meter = None
+    writer = AsyncWriter(max_workers=2)
+    frame_counter = 0
 
-    for batch in dataset.batches(args.batch_size):
+    def postprocess(hdr, exr_path, png_path, frame_idx):
+        """Tone map + encode + write one view (runs on the writer pool,
+        overlapping the next batch's device step — reference overlaps via
+        DataLoader workers, batch_infer.py:103-110)."""
+        ldr = (tone_mapper.hdr_to_ldr(hdr) if tone_mapper
+               else np.clip(hdr, 0, 1))
+        ldr_u8 = (ldr * 255).astype(np.uint8)
+        write_exr(exr_path, hdr)
+        write_png(png_path, ldr_u8)
+        if frame_idx is not None:
+            video_slots[frame_idx] = ldr_u8
+
+    # H5 load + gzip decode prefetches on a background thread while the
+    # device renders the previous batch
+    for batch in prefetch(dataset.batches(args.batch_size), depth=2):
         if meter is None:
             meter = ThroughputMeter(
                 resolution=args.resolution,
@@ -99,18 +119,17 @@ def main():
         for i, file_path in enumerate(batch['file_paths']):
             base = os.path.splitext(os.path.basename(file_path))[0]
             for view_idx in range(rendered.shape[1]):
-                hdr = rendered[i, view_idx].astype(np.float32)
-                ldr = (tone_mapper.hdr_to_ldr(hdr) if tone_mapper
-                       else np.clip(hdr, 0, 1))
-                ldr_u8 = (ldr * 255).astype(np.uint8)
-                write_exr(os.path.join(
-                    output_dir, f'{base}_view_{view_idx}.exr'), hdr)
-                write_png(os.path.join(
-                    output_dir, f'{base}_view_{view_idx}.png'), ldr_u8)
-                if args.save_video:
-                    video_frames.append(ldr_u8)
+                writer.submit(
+                    postprocess,
+                    rendered[i, view_idx].astype(np.float32),
+                    os.path.join(output_dir, f'{base}_view_{view_idx}.exr'),
+                    os.path.join(output_dir, f'{base}_view_{view_idx}.png'),
+                    frame_counter if args.save_video else None)
+                frame_counter += 1
             print(f'Rendered {base}')
 
+    writer.close()
+    video_frames = [video_slots[k] for k in sorted(video_slots)]
     print(f'Output saved to: {output_dir}')
     if meter is not None:
         summary = meter.summary()

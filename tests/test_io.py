@@ -9,13 +9,38 @@ from renderformer_tpu.io.image import read_exr, write_exr, write_video
 from renderformer_tpu.utils.tone_map import ToneMapper
 
 
-def test_exr_roundtrip(tmp_path):
+@pytest.mark.parametrize('compression', ['none', 'zips', 'zip'])
+def test_exr_roundtrip(tmp_path, compression):
     rng = np.random.default_rng(0)
     img = (rng.uniform(0, 50, (17, 23, 3))).astype(np.float32)
     p = str(tmp_path / 'x.exr')
-    write_exr(p, img)
+    write_exr(p, img, compression=compression)
     back = read_exr(p)
     np.testing.assert_array_equal(back, img)
+
+
+def test_exr_zip_compresses_rendered_images(tmp_path):
+    """ZIP must be lossless AND actually shrink smooth HDR images (the
+    round-1 uncompressed writer cost ~3 MB/frame at 512^2)."""
+    import os
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    img = np.stack([yy / 64, xx / 64, (yy + xx) / 128], axis=-1) * 10.0
+    p_zip = str(tmp_path / 'z.exr')
+    p_raw = str(tmp_path / 'r.exr')
+    write_exr(p_zip, img, compression='zip')
+    write_exr(p_raw, img, compression='none')
+    np.testing.assert_array_equal(read_exr(p_zip), img)
+    assert os.path.getsize(p_zip) < 0.5 * os.path.getsize(p_raw)
+
+
+def test_exr_zip_incompressible_blocks_stored_raw(tmp_path):
+    """Random noise doesn't deflate; blocks must fall back to raw storage
+    per the OpenEXR spec and still round-trip."""
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (33, 31, 3)).astype(np.float32)  # odd sizes
+    p = str(tmp_path / 'n.exr')
+    write_exr(p, img, compression='zip')
+    np.testing.assert_array_equal(read_exr(p), img)
 
 
 def test_h5_roundtrip_and_padding(tmp_path):

@@ -23,19 +23,32 @@ from renderformer_tpu.training.state import TrainState
 def save_checkpoint(ckpt_dir: str, tag: str, state: TrainState,
                     model_config: RenderFormerConfig,
                     extra: Optional[Dict[str, Any]] = None) -> str:
-    """Save under ``ckpt_dir/tag`` (overwrites)."""
+    """Save under ``ckpt_dir/tag`` (overwrites).
+
+    Multi-host: orbax coordinates across processes, so EVERY process must
+    call this (unlike the reference's rank-0-only torch.save,
+    train.py:588-589); the destructive/host-side steps (rmtree, meta
+    JSON) stay rank-0-only here.
+    """
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
+    is_main = jax.process_index() == 0
+    multi = jax.process_count() > 1
     ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(path):
+    if is_main and os.path.exists(path):
         import shutil
         shutil.rmtree(path)
+    if multi:
+        # rmtree must complete everywhere-visible before the save starts
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f'rftpu_ckpt_pre_{tag}')
     payload = {'params': state.params, 'opt_state': state.opt_state,
                'step': state.step}
     ckptr.save(path, payload)
     ckptr.wait_until_finished()
-    meta = {'model_config': model_config.to_dict(), 'extra': extra or {}}
-    with open(os.path.join(path, 'renderformer_meta.json'), 'w') as f:
-        json.dump(meta, f, indent=2, default=float)
+    if is_main:
+        meta = {'model_config': model_config.to_dict(), 'extra': extra or {}}
+        with open(os.path.join(path, 'renderformer_meta.json'), 'w') as f:
+            json.dump(meta, f, indent=2, default=float)
     return path
 
 

@@ -86,7 +86,23 @@ class RenderFormerDataset:
 
     def batches(self, indices: Sequence[int], batch_size: int,
                 shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                drop_last: bool = True,
+                rank: int = 0, world: int = 1,
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield stacked batches.
+
+        Multi-host (rank/world): every process shuffles identically (same
+        seed) and loads only its contiguous slice of each *global* batch —
+        the DistributedSampler equivalent (reference train.py:663-678).
+        The slice matches the process's addressable shards of a
+        data-sharded global array (process-major device order), so it
+        feeds ``jax.make_array_from_process_local_data`` directly.
+        """
+        if batch_size % world:
+            raise ValueError(
+                f'global batch_size {batch_size} must divide evenly over '
+                f'{world} processes')
+        per_proc = batch_size // world
         indices = list(indices)
         if shuffle:
             np.random.default_rng(seed).shuffle(indices)
@@ -94,7 +110,10 @@ class RenderFormerDataset:
         end = len(indices) - (len(indices) % step if drop_last else 0)
         for start in range(0, max(end, 0), step):
             chunk = indices[start:start + step]
-            if not chunk:
+            if len(chunk) < batch_size and drop_last:
                 continue
-            items = [self[i] for i in chunk]
+            local = chunk[rank * per_proc:(rank + 1) * per_proc]
+            if not local:
+                continue
+            items = [self[i] for i in local]
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}

@@ -38,6 +38,7 @@ class TrainerConfig:
     attn_impl: str = 'auto'
     resume_from: Optional[str] = None
     seed: int = 42
+    log_every: int = 10   # host metric fetch + TB write cadence (steps)
 
 
 class RenderFormerTrainer:
@@ -46,6 +47,12 @@ class RenderFormerTrainer:
         self.model = model
         self.dataset = dataset
         self.cfg = cfg
+        # multi-host: coordinated init happens in train.py
+        # (setup_distributed); here we gate side effects on rank 0 like
+        # the reference (train.py:588-589) and load data per-process
+        self.rank = jax.process_index()
+        self.world = jax.process_count()
+        self.is_main = self.rank == 0
         tc = cfg.train
         n_batches = max(1, (len(dataset) // max(cfg.batch_size, 1)))
         tc = TrainConfig(**{**tc.__dict__,
@@ -89,6 +96,11 @@ class RenderFormerTrainer:
         self.val_losses: List[float] = []
         self.start_epoch = 0
         self._writer = None
+        # checkpoint writes run on a background thread so a save never
+        # blocks step dispatch (preemption safety without a stall);
+        # single worker -> saves are ordered, drain() at fit() end
+        from renderformer_tpu.utils.prefetch import AsyncWriter
+        self._ckpt_writer = AsyncWriter(max_workers=1, max_pending=2)
 
         if cfg.resume_from:
             self.state, meta = load_checkpoint(cfg.resume_from, self.state)
@@ -103,58 +115,88 @@ class RenderFormerTrainer:
     @property
     def writer(self):
         if self._writer is None:
+            class _Null:
+                def add_scalar(self, *a, **k):
+                    pass
+
+                def close(self):
+                    pass
+            if not self.is_main:
+                # rank-0-only TensorBoard, like the reference
+                # (train.py:325-328)
+                self._writer = _Null()
+                return self._writer
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self._writer = SummaryWriter(self.cfg.log_dir)
             except Exception:
-                class _Null:
-                    def add_scalar(self, *a, **k):
-                        pass
-
-                    def close(self):
-                        pass
                 self._writer = _Null()
         return self._writer
 
+    def _print(self, *args, **kwargs):
+        if self.is_main:
+            print(*args, **kwargs)
+
     def _put_batch(self, batch: Dict[str, np.ndarray]):
+        if self.world > 1:
+            # assemble the global batch from this process's local rows
+            # (SURVEY.md §7.1: jax.make_array_from_process_local_data)
+            return {
+                k: jax.make_array_from_process_local_data(
+                    self._data_sh, np.asarray(v))
+                for k, v in batch.items()
+            }
         return jax.device_put(
             {k: jnp.asarray(v) for k, v in batch.items()}, self._data_sh)
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int, indices) -> float:
-        total, n = 0.0, 0
+        # metrics stay on device; the host syncs only every `log_every`
+        # steps and once at epoch end, so step dispatch is never blocked
+        # by a scalar fetch (the round-1 per-step float() stall)
+        pending: List[tuple] = []
         t0 = time.time()
+        every = max(1, self.cfg.log_every)
         for i, batch in enumerate(self.dataset.batches(
                 indices, self.cfg.batch_size, shuffle=True,
-                seed=self.cfg.seed + epoch)):
+                seed=self.cfg.seed + epoch,
+                rank=self.rank, world=self.world)):
             self.state, metrics = self._train_step(
                 self.state, self._put_batch(batch))
+            pending.append((int(i), metrics))
+            if i % every == 0:
+                loss = float(metrics['loss'])
+                gnorm = float(metrics['grad_norm'])
+                self._print(f'  epoch {epoch} batch {i}: loss={loss:.6f} '
+                            f'gnorm={gnorm:.4f} ({time.time() - t0:.1f}s)')
+
+        total, n = 0.0, 0
+        step0 = int(self.state.step) - len(pending)
+        for i, metrics in pending:
             loss = float(metrics['loss'])
-            gnorm = float(metrics['grad_norm'])
             if np.isfinite(loss):
                 total += loss
                 n += 1
-            step = int(self.state.step)
-            self.writer.add_scalar('Loss/Train_Batch', loss, step)
-            self.writer.add_scalar('Grad_Norm/Train', gnorm, step)
-            if i % 10 == 0:
-                print(f'  epoch {epoch} batch {i}: loss={loss:.6f} '
-                      f'gnorm={gnorm:.4f} ({time.time() - t0:.1f}s)')
+            if i % every == 0:
+                self.writer.add_scalar('Loss/Train_Batch', loss, step0 + i + 1)
+                self.writer.add_scalar(
+                    'Grad_Norm/Train', float(metrics['grad_norm']),
+                    step0 + i + 1)
         avg = total / n if n else float('inf')
         self.train_losses.append(avg)
         self.writer.add_scalar('Loss/Train_Epoch', avg, epoch)
         return avg
 
     def validate(self, epoch: int, indices) -> float:
-        total, n = 0.0, 0
+        pending = []
         for batch in self.dataset.batches(
-                indices, self.cfg.batch_size, shuffle=False):
-            metrics = self._eval_step(self.state.params, self._put_batch(batch))
-            loss = float(metrics['loss'])
-            if np.isfinite(loss):
-                total += loss
-                n += 1
-        avg = total / n if n else float('inf')
+                indices, self.cfg.batch_size, shuffle=False,
+                rank=self.rank, world=self.world):
+            pending.append(self._eval_step(
+                self.state.params, self._put_batch(batch)))
+        losses = [float(m['loss']) for m in pending]
+        losses = [x for x in losses if np.isfinite(x)]
+        avg = sum(losses) / len(losses) if losses else float('inf')
         self.val_losses.append(avg)
         self.writer.add_scalar('Loss/Val_Epoch', avg, epoch)
         return avg
@@ -163,35 +205,53 @@ class RenderFormerTrainer:
     def fit(self) -> Dict[str, Any]:
         train_idx, val_idx = self.dataset.split(
             self.cfg.train_val_split, self.cfg.seed)
-        print(f'training on {len(train_idx)} scenes, '
-              f'validating on {len(val_idx)}')
+        self._print(f'training on {len(train_idx)} scenes, '
+                    f'validating on {len(val_idx)}'
+                    + (f' across {self.world} processes'
+                       if self.world > 1 else ''))
         best_val = min(self.val_losses, default=float('inf'))
 
         for epoch in range(self.start_epoch, self.tc.num_epochs):
             train_loss = self.train_epoch(epoch, train_idx)
             val_loss = (self.validate(epoch, val_idx)
                         if val_idx else float('inf'))
-            print(f'epoch {epoch}: train={train_loss:.6f} val={val_loss:.6f}')
+            self._print(
+                f'epoch {epoch}: train={train_loss:.6f} val={val_loss:.6f}')
 
-            extra = {'epoch': epoch, 'train_losses': self.train_losses,
-                     'val_losses': self.val_losses}
+            # rank-0-only checkpointing, like the reference
+            # (train.py:588-589); replicated state is host-addressable
+            extra = {'epoch': epoch, 'train_losses': list(self.train_losses),
+                     'val_losses': list(self.val_losses)}
             if val_loss < best_val:
                 best_val = val_loss
-                save_checkpoint(self.cfg.checkpoint_dir, 'best', self.state,
-                                self.model.config, extra)
+                self._save_async('best', self.state, extra)
             if (epoch + 1) % self.cfg.save_interval == 0:
-                save_checkpoint(self.cfg.checkpoint_dir, f'epoch_{epoch}',
-                                self.state, self.model.config, extra)
+                self._save_async(f'epoch_{epoch}', self.state, extra)
 
-        save_checkpoint(self.cfg.checkpoint_dir, 'final', self.state,
-                        self.model.config,
-                        {'epoch': self.tc.num_epochs - 1,
-                         'train_losses': self.train_losses,
-                         'val_losses': self.val_losses})
-        self.plot_losses()
+        self._save_async('final', self.state,
+                         {'epoch': self.tc.num_epochs - 1,
+                          'train_losses': list(self.train_losses),
+                          'val_losses': list(self.val_losses)})
+        self._ckpt_writer.close()
+        if self.is_main:
+            self.plot_losses()
         self.writer.close()
         return {'train_losses': self.train_losses,
                 'val_losses': self.val_losses}
+
+    def _save_async(self, tag: str, state, extra):
+        """Background-thread checkpoint save (jax arrays are immutable, so
+        passing the live state is snapshot-safe).  Multi-host saves run
+        synchronously on every rank instead — orbax's cross-process
+        barriers must not interleave with compute collectives from the
+        main thread."""
+        if self.world > 1:
+            save_checkpoint(self.cfg.checkpoint_dir, tag, state,
+                            self.model.config, extra)
+            return
+        self._ckpt_writer.submit(
+            save_checkpoint, self.cfg.checkpoint_dir, tag, state,
+            self.model.config, extra)
 
     def plot_losses(self):
         """training_losses.png artifact (train.py:626-641)."""

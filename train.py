@@ -34,6 +34,16 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
 
     import jax
+    # multi-host init BEFORE any device use: TPU pod env or the reference's
+    # MASTER_ADDR/RANK/WORLD_SIZE contract (train.py:26-63); single-process
+    # runs fall through untouched
+    from renderformer_tpu.parallel.distributed import (
+        process_info, setup_distributed)
+    distributed = setup_distributed()
+    is_main = jax.process_index() == 0
+    if distributed and is_main:
+        print(f'distributed: {process_info()}')
+
     from renderformer_tpu.pipelines.rendering_pipeline import RenderingPipeline
     from renderformer_tpu.training.dataset import RenderFormerDataset
     from renderformer_tpu.training.state import TrainConfig
@@ -82,10 +92,17 @@ def main():
         resume_from=args.resume,
     )
 
-    print(f'devices: {jax.devices()}')
+    if is_main:
+        print(f'devices: {len(jax.devices())} '
+              f'({len(jax.local_devices())} local)')
     trainer = RenderFormerTrainer(model, params, dataset, trainer_cfg)
     result = trainer.fit()
-    print('final train losses:', [round(x, 6) for x in result['train_losses']])
+    if is_main:
+        print('final train losses:',
+              [round(x, 6) for x in result['train_losses']])
+    from renderformer_tpu.parallel.distributed import teardown_distributed
+    if distributed:
+        teardown_distributed()
     return 0
 
 

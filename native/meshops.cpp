@@ -258,12 +258,32 @@ void splitLongEdges(MeshData* m, double maxLen) {
       out.push_back(f);
       continue;
     }
-    // split the longest edge only; further splits happen next pass
-    int which = (l01 >= l12 && l01 >= l20) ? 0 : (l12 >= l20 ? 1 : 2);
-    int64_t a = f[which], b = f[(which + 1) % 3], c = f[(which + 2) % 3];
-    int64_t mAB = mid(a, b);
-    out.push_back({a, mAB, c});
-    out.push_back({mAB, b, c});
+    int nsplit = (splitMask & 1) + ((splitMask >> 1) & 1) +
+                 ((splitMask >> 2) & 1);
+    if (nsplit == 3) {
+      // full 1->4 subdivision
+      int64_t mAB = mid(f[0], f[1]), mBC = mid(f[1], f[2]),
+              mCA = mid(f[2], f[0]);
+      out.push_back({f[0], mAB, mCA});
+      out.push_back({mAB, f[1], mBC});
+      out.push_back({mCA, mBC, f[2]});
+      out.push_back({mAB, mBC, mCA});
+    } else if (nsplit == 2) {
+      // rotate so the NOT-split edge is (c, a): 1->3
+      int which = (splitMask == 3) ? 0 : (splitMask == 6 ? 1 : 2);
+      int64_t a = f[which], b = f[(which + 1) % 3], c = f[(which + 2) % 3];
+      int64_t mAB = mid(a, b), mBC = mid(b, c);
+      out.push_back({a, mAB, mBC});
+      out.push_back({mAB, b, mBC});
+      out.push_back({a, mBC, c});
+    } else {
+      // rotate so the split edge is (a, b): 1->2
+      int which = (splitMask & 1) ? 0 : ((splitMask & 2) ? 1 : 2);
+      int64_t a = f[which], b = f[(which + 1) % 3], c = f[(which + 2) % 3];
+      int64_t mAB = mid(a, b);
+      out.push_back({a, mAB, c});
+      out.push_back({mAB, b, c});
+    }
   }
   m->faces = std::move(out);
 }
@@ -271,6 +291,11 @@ void splitLongEdges(MeshData* m, double maxLen) {
 void collapseShortEdges(MeshData* m, double minLen, double maxLen) {
   std::vector<int64_t> alias(m->verts.size());
   for (size_t i = 0; i < alias.size(); ++i) alias[i] = (int64_t)i;
+  // one collapse per vertex per pass: without this guard, chains of
+  // short edges cascade through the stale adjacency snapshot and whole
+  // regions collapse to a point (observed: repeated remesh calls shrank
+  // 384 -> 162 -> 8 -> 0 faces)
+  std::vector<char> touched(m->verts.size(), 0);
   auto resolve = [&](int64_t v) {
     while (alias[v] != v) {
       alias[v] = alias[alias[v]];
@@ -291,6 +316,7 @@ void collapseShortEdges(MeshData* m, double minLen, double maxLen) {
     for (int i = 0; i < 3; ++i) {
       int64_t a = resolve(f[i]), b = resolve(f[(i + 1) % 3]);
       if (a == b) continue;
+      if (touched[a] || touched[b]) continue;
       if ((m->verts[a] - m->verts[b]).norm() >= minLen) continue;
       Vec3 target = (m->verts[a] + m->verts[b]) * 0.5;
       bool ok = true;
@@ -305,6 +331,7 @@ void collapseShortEdges(MeshData* m, double minLen, double maxLen) {
       if (!ok) continue;
       m->verts[a] = target;
       alias[b] = a;
+      touched[a] = touched[b] = 1;
       vadj[a].insert(vadj[a].end(), vadj[b].begin(), vadj[b].end());
     }
   }
@@ -350,6 +377,75 @@ void flipForValence(MeshData* m) {
     m->faces[fs[1]] = {b, c, d};
     valence[a]--; valence[b]--; valence[c]++; valence[d]++;
     // edgeFaces is now stale for these faces; acceptable per-pass
+  }
+}
+
+// closest point on triangle abc to p (Ericson, Real-Time Collision
+// Detection §5.1.5)
+Vec3 closestOnTriangle(const Vec3& p, const Vec3& a, const Vec3& b,
+                       const Vec3& c) {
+  Vec3 ab = b - a, ac = c - a, ap = p - a;
+  double d1 = ab.dot(ap), d2 = ac.dot(ap);
+  if (d1 <= 0 && d2 <= 0) return a;
+  Vec3 bp = p - b;
+  double d3 = ab.dot(bp), d4 = ac.dot(bp);
+  if (d3 >= 0 && d4 <= d3) return b;
+  double vc = d1 * d4 - d3 * d2;
+  if (vc <= 0 && d1 >= 0 && d3 <= 0) {
+    double v = d1 / (d1 - d3);
+    return a + ab * v;
+  }
+  Vec3 cp = p - c;
+  double d5 = ab.dot(cp), d6 = ac.dot(cp);
+  if (d6 >= 0 && d5 <= d6) return c;
+  double vb = d5 * d2 - d1 * d6;
+  if (vb <= 0 && d2 >= 0 && d6 <= 0) {
+    double w = d2 / (d2 - d6);
+    return a + ac * w;
+  }
+  double va = d3 * d6 - d5 * d4;
+  if (va <= 0 && (d4 - d3) >= 0 && (d5 - d6) >= 0) {
+    double w = (d4 - d3) / ((d4 - d3) + (d5 - d6));
+    return b + (c - b) * w;
+  }
+  double denom = 1.0 / (va + vb + vc);
+  double v = vb * denom, w = vc * denom;
+  return a + ab * v + ac * w;
+}
+
+// project every vertex back onto the ORIGINAL surface — without this the
+// tangential relaxation shrinks the shape each iteration (classic
+// Laplacian shrinkage; pymeshlab's isotropic remesh reprojects too)
+void projectToSurface(MeshData* m, const std::vector<Vec3>& origV,
+                      const std::vector<std::array<int64_t, 3>>& origF) {
+  // per-triangle bounding spheres for a cheap reject
+  std::vector<Vec3> center(origF.size());
+  std::vector<double> radius(origF.size());
+  for (size_t i = 0; i < origF.size(); ++i) {
+    const Vec3& a = origV[origF[i][0]];
+    const Vec3& b = origV[origF[i][1]];
+    const Vec3& c = origV[origF[i][2]];
+    Vec3 ctr = (a + b + c) * (1.0 / 3.0);
+    double r = std::max({(a - ctr).norm(), (b - ctr).norm(),
+                         (c - ctr).norm()});
+    center[i] = ctr;
+    radius[i] = r;
+  }
+  for (auto& p : m->verts) {
+    double best = 1e300;
+    Vec3 bestP = p;
+    for (size_t i = 0; i < origF.size(); ++i) {
+      double lower = (center[i] - p).norm() - radius[i];
+      if (lower * lower >= best && lower > 0) continue;
+      Vec3 q = closestOnTriangle(p, origV[origF[i][0]],
+                                 origV[origF[i][1]], origV[origF[i][2]]);
+      double d = (q - p).dot(q - p);
+      if (d < best) {
+        best = d;
+        bestP = q;
+      }
+    }
+    p = bestP;
   }
 }
 
@@ -420,13 +516,30 @@ int meshops_isotropic_remesh(const double* verts, int nv,
   m.faces.resize(nf);
   std::memcpy(m.faces.data(), faces, sizeof(int64_t) * 3 * nf);
 
+  const std::vector<Vec3> origV = m.verts;
+  const std::vector<std::array<int64_t, 3>> origF = m.faces;
+
+  // Once the edge-length distribution straddles the collapse threshold,
+  // further passes erode the mesh (collapse removes more than split
+  // re-adds on sharp-featured inputs).  Track the densest state reached
+  // and restore it if an iteration starts destroying faces.
+  MeshData best;
+  size_t bestCount = 0;
   for (int it = 0; it < iterations; ++it) {
     splitLongEdges(&m, target_edge_len * 4.0 / 3.0);
     collapseShortEdges(&m, target_edge_len * 4.0 / 5.0,
                        target_edge_len * 4.0 / 3.0);
     flipForValence(&m);
     tangentialRelax(&m, 0.5);
+    projectToSurface(&m, origV, origF);
     if ((int)m.faces.size() > capacity_faces) return 2;
+    if (m.faces.size() >= bestCount) {
+      bestCount = m.faces.size();
+      best = m;
+    } else if (m.faces.size() < bestCount * 9 / 10) {
+      m = best;
+      break;
+    }
   }
   compact(&m);
 

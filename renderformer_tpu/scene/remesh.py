@@ -129,7 +129,12 @@ def remesh(input_v: np.ndarray, input_f: np.ndarray,
         np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1).sum()
     edge_len = float(np.sqrt(area / max(expected_face_num, 1)
                              / (np.sqrt(3) / 4.0)))
-    v2, f2 = isotropic_remesh(v, f, edge_len, iterations=5)
+    # each pass splits at most the longest edge of every face (face count
+    # can at best double per pass) — very coarse inputs (a 12-face box vs
+    # a 2048-face target) need ~log2(ratio) extra passes
+    grow = max(expected_face_num / max(len(f), 1), 1.0)
+    iters = 5 + int(np.ceil(np.log2(grow)))
+    v2, f2 = isotropic_remesh(v, f, edge_len, iterations=iters)
     if len(f2) > expected_face_num:
         v2, f2 = decimate(v2, f2, expected_face_num)
     return v2, f2

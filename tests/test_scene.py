@@ -105,8 +105,9 @@ def test_texture_patch_layout():
 
 @pytest.mark.skipif(not os.path.isdir(EXAMPLES), reason='no reference examples')
 def test_cbox_triangle_count(tmp_path):
-    """cbox.json must produce the canonical triangle count: walls
-    2x2560 + 4 background planes x128 + 1 light triangle = 5633."""
+    """The REFERENCE cbox.json must produce the canonical triangle count:
+    walls 2x2560 + 4 background planes x128 + 1 light triangle = 5633
+    (byte-compat evidence for the ingestion pipeline)."""
     from renderformer_tpu.scene.scene_mesh import generate_scene_meshes
     from renderformer_tpu.scene.to_h5 import scene_to_tensors
     cfg = load_scene_config(os.path.join(EXAMPLES, 'cbox.json'))
@@ -167,17 +168,39 @@ def test_native_remesh_refines():
 
 
 def test_own_examples_convert(tmp_path):
-    """The in-repo generated example scenes must convert end to end."""
+    """ALL 18 in-repo example scenes (the 16 reference-equivalents +
+    cbox-sphere/-torus extras) must convert end to end with the expected
+    light counts (reference parity: /root/reference/examples/)."""
+    import glob
+    import json
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     examples = os.path.join(repo, 'examples')
     if not os.path.isdir(examples):
         pytest.skip('examples not generated')
     from renderformer_tpu.scene.scene_mesh import generate_scene_meshes
     from renderformer_tpu.scene.to_h5 import scene_to_tensors
-    cfg = load_scene_config(os.path.join(examples, 'cbox.json'))
-    meshes = generate_scene_meshes(cfg, examples)
-    t = scene_to_tensors(cfg, meshes)
-    n = t['triangles'].shape[0]
-    assert 100 < n < 4096  # inside the training envelope
-    emissive = t['texture'][:, 10:13].max(axis=(1, 2, 3))
-    assert (emissive > 0).sum() == 1  # the single light triangle
+
+    expected_lights = {
+        'compose-scene': 2, 'constant-width': 5, 'renderformer-logo': 2,
+        'tree': 2,
+    }
+    names = sorted(os.path.basename(p)[:-5]
+                   for p in glob.glob(os.path.join(examples, '*.json')))
+    # full reference example-set parity (16 scenes) + our 2 extras
+    required = {
+        'cbox', 'cbox-bunny', 'cbox-lucy', 'cbox-teapot', 'cornell_box',
+        'compose-scene', 'constant-width', 'crystals', 'fox-in-the-wild',
+        'horse-and-heart', 'init-template', 'renderformer-logo', 'room',
+        'shader-ball', 'tree', 'veach-mis'}
+    assert required <= set(names), required - set(names)
+
+    for name in names:
+        cfg = load_scene_config(os.path.join(examples, f'{name}.json'))
+        meshes = generate_scene_meshes(cfg, examples)
+        t = scene_to_tensors(cfg, meshes)
+        n = t['triangles'].shape[0]
+        assert 100 < n < 12000, (name, n)  # lucy stress case is ~11.8k
+        emissive = t['texture'][:, 10:13].max(axis=(1, 2, 3))
+        assert (emissive > 0).sum() == expected_lights.get(name, 1), name
+        assert np.isfinite(t['triangles']).all(), name
+        assert np.isfinite(t['vn']).all(), name  # the single light triangle

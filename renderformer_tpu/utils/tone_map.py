@@ -83,13 +83,20 @@ def tonemap_pbr_neutral(hdr: np.ndarray) -> np.ndarray:
 
 
 def tonemap_filmic(hdr: np.ndarray) -> np.ndarray:
-    """Blender Filmic (base contrast) approximation: filmic log2 encoding
-    over ~16.5 stops centered at 0.18 grey + smoothstep contrast."""
+    """Blender Filmic (base contrast) approximation.
+
+    Exact filmic log2 encoding (Blender's filmic_log: 16.5 stops,
+    -12.473931188 .. +4.026068812 EV around 0.18 scene grey), followed by
+    a smoothstep stand-in for the Base Contrast 1D LUT (the LUT itself is
+    Blender data we do not ship).  Contract tested in
+    tests/test_tone_map.py: monotone, 0 -> 0, +4.03 EV -> 1, mid grey
+    lands at smoothstep(0.7557) = 0.838 display (the true LUT gives
+    ~0.8 at base contrast) — a preview-quality approximation, flagged as
+    such."""
     x = np.maximum(np.asarray(hdr, np.float64), 0.0)
-    # filmic dynamic range: -12.473931188 .. +4.026068812 EV around 0.18
     log = np.log2(np.maximum(x, 1e-10) / 0.18)
-    t = np.clip((log + 10.0) / (10.0 + 6.5), 0.0, 1.0)
-    # base contrast S-curve
+    t = np.clip((log + 12.473931188) / 16.5, 0.0, 1.0)
+    # base contrast S-curve (LUT approximation)
     t = t * t * (3.0 - 2.0 * t)
     return np.clip(t, 0.0, 1.0).astype(np.float32)
 

@@ -203,6 +203,41 @@ class RenderFormerTrainer:
 
     # ------------------------------------------------------------------
     def fit(self) -> Dict[str, Any]:
+        # preemption safety (SURVEY.md §5 failure recovery): TPU
+        # maintenance events deliver SIGTERM — snapshot a resumable
+        # checkpoint before dying.  The reference has no equivalent
+        # (its OOM/exception retry is per-batch only, train.py:471-482).
+        import signal
+
+        def _on_sigterm(signum, frame):
+            self._print('SIGTERM: saving preemption checkpoint...')
+            try:
+                save_checkpoint(
+                    self.cfg.checkpoint_dir, 'preempted', self.state,
+                    self.model.config,
+                    {'epoch': len(self.train_losses) - 1,
+                     'train_losses': list(self.train_losses),
+                     'val_losses': list(self.val_losses)})
+            finally:
+                signal.signal(signal.SIGTERM, signal.SIG_DFL)
+                raise SystemExit(143)
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            pass  # not the main thread (e.g. tests); skip the hook
+
+        try:
+            return self._fit_inner()
+        finally:
+            if prev_handler is not None:
+                try:
+                    signal.signal(signal.SIGTERM, prev_handler)
+                except ValueError:
+                    pass
+
+    def _fit_inner(self) -> Dict[str, Any]:
         train_idx, val_idx = self.dataset.split(
             self.cfg.train_val_split, self.cfg.seed)
         self._print(f'training on {len(train_idx)} scenes, '

@@ -50,9 +50,10 @@ def main():
 
     dataset = RenderFormerDataset(
         h5_dir=data_dir, gt_dir=data_dir, max_resolution=32)
+    n_epochs = int(os.environ.get('RFTPU_TEST_EPOCHS', '1'))
     tcfg = TrainerConfig(
-        train=TrainConfig(num_epochs=1, precision='float32', resolution=32,
-                          learning_rate=1e-4),
+        train=TrainConfig(num_epochs=n_epochs, precision='float32',
+                          resolution=32, learning_rate=1e-4),
         batch_size=4,             # GLOBAL batch size
         train_val_split=1.0,      # all train, deterministic
         checkpoint_dir=os.path.join(out_dir, 'ckpt'),

@@ -84,3 +84,48 @@ def test_two_process_training_matches_single_process(tmp_path):
     with open(os.path.join(out2, 'losses_rank1.json')) as f:
         rank1 = json.load(f)['train_losses']
     np.testing.assert_allclose(rank1, multi, rtol=1e-6)
+
+
+def test_sigterm_saves_preemption_checkpoint(tmp_path):
+    """TPU maintenance preemption delivers SIGTERM; the trainer must
+    snapshot a resumable checkpoint before exiting (SURVEY.md §5 failure
+    recovery — absent in the reference)."""
+    import signal
+    import time
+
+    data_dir = str(tmp_path / 'data')
+    _make_dataset(data_dir)
+    out = str(tmp_path / 'out')
+    os.makedirs(out, exist_ok=True)
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['RFTPU_TEST_EPOCHS'] = '500'   # long run; we kill it mid-flight
+
+    p = _run_worker(0, 1, 23500, data_dir, out, env)
+    # wait until training has actually started (first batch print)
+    t0 = time.time()
+    started = False
+    buf = b''
+    os.set_blocking(p.stdout.fileno(), False)
+    while time.time() - t0 < 600:
+        chunk = p.stdout.read() or b''
+        buf += chunk
+        if b'epoch 0 batch' in buf or b'epoch 1' in buf:
+            started = True
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(1)
+    assert started, buf.decode(errors='replace')[-3000:]
+
+    p.send_signal(signal.SIGTERM)
+    os.set_blocking(p.stdout.fileno(), True)
+    rest, _ = p.communicate(timeout=300)
+    log = (buf + (rest or b'')).decode(errors='replace')
+    assert p.returncode == 143, (p.returncode, log[-3000:])
+    assert 'preemption checkpoint' in log
+    ck = os.path.join(out, 'ckpt', 'preempted')
+    assert os.path.isdir(ck), os.listdir(os.path.join(out, 'ckpt'))
+    assert os.path.exists(os.path.join(ck, 'renderformer_meta.json'))

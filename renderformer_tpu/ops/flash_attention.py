@@ -53,6 +53,12 @@ LANES = 128
 LOG2E = 1.4426950408889634  # log2(e): softmax runs in the exp2 domain
 LN2 = 0.6931471805599453
 
+# backward loop-block clamps (v5e-tuned; tools/attn_bwd_micro.py sweeps
+# these — module constants so experiments retrace instead of aliasing the
+# jit cache)
+BWD_MAX_BQ = 512
+BWD_MAX_BK = 512
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -356,19 +362,162 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      mask_ref, dq_ref, dk_ref, dv_ref, *, bk: int,
+                      scale: float, has_mask: bool):
+    """Fused dQ/dK/dV for one (batch, head, q-block).
+
+    Single-pass design: the two-kernel backward recomputed P twice and
+    ran 7 matmuls per (q, k) block pair; this kernel computes
+    s2/p/dp/ds ONCE and runs the minimal 5 matmuls (s2, dp, dV, dK, dQ).
+    The q-block grid dimension is sequential ('arbitrary'): dk/dv output
+    blocks map to the same (batch, head) block for every q step, so they
+    stay VMEM-resident and accumulate across grid steps (zeroed at
+    qi == 0).  Measured on v5e at the model's shapes: 13.9 -> 9.3 ms
+    (ray self-attn 4096^2 B8) vs the two-kernel design.
+
+    q/do/dq: [bq, D]; k/v: [Sk, D]; dk/dv: [Sk, D] fp32;
+    lse/delta: [bq, LANES]; mask: [B, Sk].
+    """
+    bq_, d = q_ref.shape
+    sk = k_ref.shape[0]
+    bi = pl.program_id(0)
+    qi = pl.program_id(2)
+    dt = q_ref.dtype
+
+    @pl.when(qi == 0)
+    def _zero():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    q = (q_ref[:].astype(jnp.float32) * (scale * LOG2E)).astype(dt)
+    do = do_ref[:]
+    lse2 = lse_ref[:, 0:1] * LOG2E  # natural log -> log2 units
+    delta = delta_ref[:, 0:1]
+
+    def body(kb, dq_acc):
+        ks = pl.ds(kb * bk, bk)
+        k = k_ref[ks, :]
+        v = v_ref[ks, :]
+
+        s2 = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk], log2 units
+        if has_mask:
+            mask = mask_ref[bi, ks]
+            s2 = s2 + jnp.where(mask != 0, 0.0, NEG_INF)[None, :]
+        p = jnp.exp2(s2 - lse2)
+
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        ds = ((dp - delta) * p).astype(dt)
+
+        dv_ref[ks, :] += jax.lax.dot_general(
+            p.astype(dt), do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # q carried scale*log2e; dk needs plain scale * dS^T Q_unscaled
+        dk_ref[ks, :] += jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * (1.0 / LOG2E)
+        return dq_acc + jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, sk // bk, body,
+                           jnp.zeros((bq_, d), jnp.float32))
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=('bq', 'bk', 'interpret'))
-def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
-               interpret: bool):
+def _flash_bwd_fused(q, k, v, mask, out, lse, do, bq: int, bk: int,
+                     interpret: bool):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    bq = min(bq, BWD_MAX_BQ)
+    bk = min(bk, BWD_MAX_BK)
+    sq_p = _round_up(sq, bq)
+    sk_p = _round_up(sk, bk)
+
+    if sq_p != sq:
+        pad = ((0, 0), (0, sq_p - sq), (0, 0), (0, 0))
+        q = jnp.pad(q, pad)
+        do = jnp.pad(do, pad)
+        out = jnp.pad(out, pad)
+    if sk_p != sk:
+        pad = ((0, 0), (0, sk_p - sk), (0, 0), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    has_mask = mask is not None or sk_p != sk
+    if has_mask:
+        if mask is None:
+            mask = jnp.ones((b, sk), bool)
+        mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sk_p - sk)))
+    else:
+        mask = jnp.zeros((b, sk_p), jnp.int32)  # operand kept for spec parity
+
+    scale = 1.0 / np.sqrt(d)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # [B, sq_p, H]
+    delta = jnp.broadcast_to(
+        delta[..., None], (b, sq_p, h, LANES)).reshape(b, sq_p, h * LANES)
+
+    q2 = q.reshape(b, sq_p, h * d)
+    k2 = k.reshape(b, sk_p, h * d)
+    v2 = v.reshape(b, sk_p, h * d)
+    do2 = do.reshape(b, sq_p, h * d)
+
+    qspec = pl.BlockSpec((None, bq, d), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((None, sk_p, d), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM)
+    lm_spec = pl.BlockSpec((None, bq, LANES), lambda bi, hi, qi: (bi, qi, hi),
+                           memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((b, sk_p), lambda bi, hi, qi: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, bk=bk, scale=scale,
+                          has_mask=has_mask),
+        grid=(b, h, sq_p // bq),
+        in_specs=[qspec, kspec, kspec, qspec, lm_spec, lm_spec, mask_spec],
+        out_specs=(qspec, kspec, kspec),
+        out_shape=(jax.ShapeDtypeStruct((b, sq_p, h * d), q.dtype),
+                   jax.ShapeDtypeStruct((b, sk_p, h * d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, sk_p, h * d), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+            # resident K/V + fp32 dK/dV accumulators + [bq, bk] fp32
+            # temporaries overflow the default 16M scoped window at
+            # Sk=4096 by <1M; v5e has 128M physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(q2, k2, v2, do2, lse, delta, mask)
+
+    dq = dq.reshape(b, sq_p, h, d)
+    dk = dk.reshape(b, sk_p, h, d).astype(k.dtype)
+    dv = dv.reshape(b, sk_p, h, d).astype(v.dtype)
+    if sq_p != sq:
+        dq = dq[:, :sq, :, :]
+    if sk_p != sk:
+        dk = dk[:, :sk, :, :]
+        dv = dv[:, :sk, :, :]
+    return dq, dk, dv
+
+
+@functools.partial(jax.jit, static_argnames=('bq', 'bk', 'interpret'))
+def _flash_bwd_twokernel(q, k, v, mask, out, lse, do, bq: int, bk: int,
+                         interpret: bool):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     # the forward may run a single large K block; the backward kernels
     # keep full K (dQ) / full Q (dKV) resident plus fp32 [bq, bk] blocks,
-    # so clamp their loop blocks to 512. Shrinking is always safe: the
-    # backward derives its own q/k padding, and the forward-made lse
+    # so clamp their loop blocks. Shrinking is always safe: the backward
+    # derives its own q/k padding, and the forward-made lse
     # ([B, round_up(sq, fwd bq), H*LANES]) is at least as long as the
     # backward's q padding, so its blocks stay in range.
-    bq = min(bq, 512)
-    bk = min(bk, 512)
+    bq = min(bq, BWD_MAX_BQ)
+    bk = min(bk, BWD_MAX_BK)
     sq_p = _round_up(sq, bq)
     sk_p = _round_up(sk, bk)
 
@@ -470,6 +619,24 @@ def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
         dk = dk[:, :sk, :, :]
         dv = dv[:, :sk, :, :]
     return dq, dk, dv
+
+
+def _fused_bwd_enabled() -> bool:
+    """Fused single-pass backward, default ON (5 matmuls + 1 P-recompute
+    per block pair vs the two-kernel design's 7 + 2; measured 13.9 ->
+    9.3 ms at ray-self 4096^2 B8 on v5e).  RFTPU_FUSED_BWD=0 falls back
+    to the two-kernel path."""
+    import os
+    return os.environ.get('RFTPU_FUSED_BWD', '1') != '0'
+
+
+def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
+               interpret: bool):
+    if _fused_bwd_enabled():
+        return _flash_bwd_fused(q, k, v, mask, out, lse, do, bq, bk,
+                                interpret)
+    return _flash_bwd_twokernel(q, k, v, mask, out, lse, do, bq, bk,
+                                interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -165,3 +165,27 @@ def test_rope_fused_model_forward(monkeypatch):
     monkeypatch.setenv('RFTPU_FUSE_ROPE', '1')
     fused = np.asarray(model(params, *args, impl='flash'))
     np.testing.assert_allclose(fused, base, atol=5e-5, rtol=1e-4)
+
+
+def test_fused_bwd_matches_twokernel():
+    """The fused single-pass backward (default) must produce the same
+    dq/dk/dv as the two-kernel design, including ragged padding + mask."""
+    from renderformer_tpu.ops.flash_attention import (
+        _flash_bwd_fused, _flash_bwd_twokernel, _flash_fwd)
+    rng = np.random.default_rng(5)
+    for (b, h, sq, sk, d, masked) in [
+            (1, 2, 64, 96, 32, True),
+            (2, 2, 100, 70, 32, True),   # ragged: padding in q and k
+            (1, 1, 128, 128, 64, False)]:
+        q, k, v = _rand_qkv(rng, b, h, sq, sk, d)
+        mask = (jnp.asarray(rng.uniform(size=(b, sk)) > 0.3).at[:, 0]
+                .set(True) if masked else None)
+        do = jnp.asarray(rng.normal(size=(b, sq, h, d)), jnp.float32)
+        out, lse = _flash_fwd(q, k, v, mask, bq=64, bk=64, interpret=True,
+                              with_lse=True)
+        a = _flash_bwd_fused(q, k, v, mask, out, lse, do, 64, 64, True)
+        b_ = _flash_bwd_twokernel(q, k, v, mask, out, lse, do, 64, 64, True)
+        for ga, gb, name in zip(a, b_, ('dq', 'dk', 'dv')):
+            np.testing.assert_allclose(
+                np.asarray(ga), np.asarray(gb), atol=2e-5, rtol=1e-4,
+                err_msg=f'{name} b{b} sq{sq} sk{sk} masked={masked}')

@@ -94,28 +94,10 @@ def main():
         if frame_idx is not None:
             video_slots[frame_idx] = ldr_u8
 
-    # H5 load + gzip decode prefetches on a background thread while the
-    # device renders the previous batch
-    for batch in prefetch(dataset.batches(args.batch_size), depth=2):
-        if meter is None:
-            meter = ThroughputMeter(
-                resolution=args.resolution,
-                views_per_step=batch['c2w'].shape[1],
-                batch_size=batch['c2w'].shape[0],
-                triangle_tokens=batch['triangles'].shape[1])
-        meter.start()
-        rendered = np.asarray(pipeline.render(
-            triangles=batch['triangles'],
-            texture=batch['texture'],
-            mask=batch['mask'],
-            vn=batch['vn'],
-            c2w=batch['c2w'],
-            fov=batch['fov'][..., None],
-            resolution=args.resolution,
-            precision=args.precision,
-        ))
-        meter.stop()
-
+    def flush(rendered_dev, batch):
+        """Fetch a finished render and hand its views to the writer pool."""
+        nonlocal frame_counter
+        rendered = np.asarray(rendered_dev)
         for i, file_path in enumerate(batch['file_paths']):
             base = os.path.splitext(os.path.basename(file_path))[0]
             for view_idx in range(rendered.shape[1]):
@@ -127,6 +109,38 @@ def main():
                     frame_counter if args.save_video else None)
                 frame_counter += 1
             print(f'Rendered {base}')
+
+    # Three-deep overlap: H5 load + gzip decode prefetches on a background
+    # thread, the device renders batch i+1 while batch i's image transfer
+    # + EXR/PNG writes drain (jax dispatch is async — `render` returns a
+    # future-like device array; `np.asarray` in flush() is the sync point,
+    # so keeping one render in flight hides the device->host fetch).
+    inflight = []
+    for batch in prefetch(dataset.batches(args.batch_size), depth=2):
+        if meter is None:
+            meter = ThroughputMeter(
+                resolution=args.resolution,
+                views_per_step=batch['c2w'].shape[1],
+                batch_size=batch['c2w'].shape[0],
+                triangle_tokens=batch['triangles'].shape[1])
+        meter.start()
+        rendered_dev = pipeline.render(
+            triangles=batch['triangles'],
+            texture=batch['texture'],
+            mask=batch['mask'],
+            vn=batch['vn'],
+            c2w=batch['c2w'],
+            fov=batch['fov'][..., None],
+            resolution=args.resolution,
+            precision=args.precision,
+        )
+        inflight.append((rendered_dev, batch))
+        if len(inflight) > 1:
+            flush(*inflight.pop(0))
+        # steady-state: one loop iteration = one batch through the pipeline
+        meter.stop()
+    for item in inflight:
+        flush(*item)
 
     writer.close()
     video_frames = [video_slots[k] for k in sorted(video_slots)]

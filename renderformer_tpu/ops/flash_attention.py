@@ -242,7 +242,11 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
         out_specs=out_specs if with_lse else out_specs[0],
         out_shape=out_shape if with_lse else out_shape[0],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'parallel')),
+            dimension_semantics=('parallel', 'parallel', 'parallel'),
+            # fp32 inputs with a resident 4096-key block need ~17M of
+            # scoped VMEM (fp32 K/V + [bq, sk] logits), just over the
+            # 16M default; v5e has 128M physical
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
 
@@ -681,8 +685,14 @@ def _flash_nomask_vjp_bwd(bq, bk, interpret, res, g):
 _flash_nomask.defvjp(_flash_nomask_vjp_fwd, _flash_nomask_vjp_bwd)
 
 
+def _default_bq() -> int:
+    """Forward q-block rows (v5e-tuned; RFTPU_FLASH_BQ sweeps it)."""
+    import os
+    return int(os.environ.get('RFTPU_FLASH_BQ', '512'))
+
+
 def flash_attention(q, k, v, mask=None,
-                    bq: int = 512, bk: Optional[int] = None,
+                    bq: Optional[int] = None, bk: Optional[int] = None,
                     interpret: Optional[bool] = None):
     """Masked flash attention.
 
@@ -696,7 +706,7 @@ def flash_attention(q, k, v, mask=None,
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
     sq, sk = q.shape[1], k.shape[1]
-    bq = min(bq, _round_up(sq, 128))
+    bq = min(bq if bq is not None else _default_bq(), _round_up(sq, 128))
     bk = _pick_bk(sk, bk)
     if mask is None:
         return _flash_nomask(q, k, v, bq, bk, interpret)
@@ -838,7 +848,8 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
         out_specs=out_specs if with_lse else out_specs[0],
         out_shape=out_shape if with_lse else out_shape[0],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'parallel', 'parallel')),
+            dimension_semantics=('parallel', 'parallel', 'parallel'),
+            vmem_limit_bytes=64 * 1024 * 1024),  # see _flash_fwd
         interpret=interpret,
     )(*operands)
 
@@ -914,7 +925,7 @@ _flash_rope_nomask.defvjp(_flash_rope_nomask_vjp_fwd,
 
 
 def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
-                         bq: int = 512, bk: Optional[int] = None,
+                         bq: Optional[int] = None, bk: Optional[int] = None,
                          interpret=None):
     """Flash attention with fp32 q-RoPE fused into the kernel prologue
     (K is pre-rotated by one fused XLA pass — see module docstring).
@@ -932,7 +943,7 @@ def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
     sq, sk = q.shape[1], k.shape[1]
-    bq = min(bq, _round_up(sq, 128))
+    bq = min(bq if bq is not None else _default_bq(), _round_up(sq, 128))
     bk = _pick_bk(sk, bk)
     # stop-gradient on the tables: positions are no-grad in the reference
     cosq = jax.lax.stop_gradient(cosq.astype(jnp.float32))

@@ -1,0 +1,162 @@
+"""Speed-of-light / roofline analysis of the render workload.
+
+Closes the BASELINE.json "triangle-token + pixel-patch token/s per chip |
+speed-of-light analysis vs roofline" row: lowers the REAL render graph,
+pulls FLOP and HBM-byte counts from XLA's cost analysis, measures wall
+time on the attached chip, and reports achieved TFLOP/s and GB/s against
+the chip's peaks, plus the rays/s and token/s counters.
+
+FLOPs are counted on the ``impl='xla'`` lowering (mathematically the same
+graph; Pallas custom-calls are opaque to XLA's cost model) while timing
+runs the shipped ``impl='flash'`` path.
+
+Usage:
+    python tools/roofline.py [--preset v1-base] [--res 512] [--views 8]
+        [--tris 2048] [--view-precision bf16] [--iters 5] [--no-measure]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# TPU generation peaks (dense, per chip).
+CHIP_PEAKS = {
+    # name: (bf16 TFLOP/s, HBM GB/s)
+    'v5e': (197.0, 819.0),
+    'v5p': (459.0, 2765.0),
+    'v4': (275.0, 1228.0),
+    'v6e': (918.0, 1640.0),
+}
+
+
+def _flop_count(fn, args):
+    """XLA cost analysis of the lowered graph (CPU lowering is fine for
+    counting — the HLO math is platform-independent)."""
+    import jax
+    lowered = jax.jit(fn).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    return float(cost.get('flops', 0.0)), float(
+        cost.get('bytes accessed', 0.0))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--preset', default='v1-base')
+    ap.add_argument('--res', type=int, default=512)
+    ap.add_argument('--views', type=int, default=8)
+    ap.add_argument('--tris', type=int, default=2048)
+    ap.add_argument('--view-precision', default='bf16',
+                    choices=['bf16', 'fp32'])
+    ap.add_argument('--iters', type=int, default=5)
+    ap.add_argument('--no-measure', action='store_true',
+                    help='analysis only (no TPU timing); useful on CPU')
+    ap.add_argument('--chip', default=None,
+                    help='override chip generation (default: autodetect)')
+    args = ap.parse_args(argv)
+
+    import os
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:
+        pass
+
+    from renderformer_tpu.config import PRESETS
+    from renderformer_tpu.models.renderformer import RenderFormer
+    from renderformer_tpu.pipelines.rendering_pipeline import render_fn
+
+    cfg = PRESETS[args.preset]
+    model = RenderFormer(cfg)
+    params = model.init(jax.random.key(0))
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(params))
+
+    bs, n_tris, n_views, res = 1, args.tris, args.views, args.res
+    rng = np.random.default_rng(0)
+    base_args = (
+        params,
+        jnp.asarray(rng.normal(size=(bs, n_tris, 3, 3)), jnp.float32) * 0.3,
+        jnp.asarray(rng.uniform(0, 1, (bs, n_tris, 13, 32, 32)), jnp.float32),
+        jnp.ones((bs, n_tris), bool),
+        jnp.asarray(rng.normal(size=(bs, n_tris, 3, 3)), jnp.float32),
+        jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (bs, n_views, 1, 1))),
+        jnp.full((bs, n_views, 1), 40.0, jnp.float32),
+    )
+    view_dtype = (jnp.float32 if args.view_precision == 'fp32'
+                  else jnp.bfloat16)
+
+    def make(impl):
+        base = partial(render_fn, model=model, resolution=res,
+                       dtype=jnp.bfloat16, view_dtype=view_dtype, impl=impl)
+        return lambda *a: jnp.sum(base(*a).astype(jnp.float32))
+
+    flops, hbm_bytes = _flop_count(make('xla'), base_args)
+
+    # Workload counters.
+    rays = bs * n_views * res * res
+    tri_tokens = bs * (n_tris + cfg.num_register_tokens)
+    patch_tokens = bs * n_views * (res // cfg.patch_size) ** 2
+
+    chip = args.chip or os.environ.get('PALLAS_AXON_TPU_GEN', 'v5e')
+    peak_tflops, peak_gbs = CHIP_PEAKS.get(chip, CHIP_PEAKS['v5e'])
+
+    report = {
+        'preset': args.preset,
+        'workload': {'res': res, 'views': n_views, 'tris': n_tris,
+                     'view_precision': args.view_precision},
+        'params_millions': round(n_params / 1e6, 1),
+        'tflop_per_render': round(flops / 1e12, 3),
+        'hbm_gb_per_render_xla_estimate': round(hbm_bytes / 1e9, 3),
+        'arithmetic_intensity_flop_per_byte': round(flops / hbm_bytes, 1),
+        'chip': chip,
+        'peak_tflops_bf16': peak_tflops,
+        'peak_hbm_gbs': peak_gbs,
+        # speed-of-light: whichever wall is hit first
+        'sol_ms_compute': round(flops / (peak_tflops * 1e12) * 1e3, 2),
+        'sol_ms_hbm': round(hbm_bytes / (peak_gbs * 1e9) * 1e3, 2),
+    }
+
+    if not args.no_measure:
+        platform = jax.devices()[0].platform
+        impl = 'flash' if platform == 'tpu' else 'xla'
+        fn = jax.jit(make(impl))
+        dev_params = jax.device_put(params)
+        run_args = (dev_params,) + base_args[1:]
+        checksum = float(fn(*run_args))
+        assert np.isfinite(checksum)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            checksum = float(fn(*run_args))
+        dt = (time.perf_counter() - t0) / args.iters
+        report.update({
+            'platform': platform,
+            'impl': impl,
+            'measured_ms': round(dt * 1e3, 2),
+            'achieved_tflops': round(flops / dt / 1e12, 1),
+            'pct_of_peak_compute': round(100 * flops / dt / (peak_tflops * 1e12), 1),
+            'rays_per_s': round(rays / dt, 0),
+            'triangle_tokens_per_s': round(tri_tokens / dt, 0),
+            'patch_tokens_per_s': round(patch_tokens / dt, 0),
+            'sol_headroom_x': round(
+                dt * 1e3 / max(report['sol_ms_compute'],
+                               report['sol_ms_hbm']), 2),
+        })
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -9,8 +9,11 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
@@ -22,6 +25,8 @@ def main(argv=None):
     ap.add_argument('--trace-dir', default='/tmp/rf_trace')
     ap.add_argument('--train', action='store_true',
                     help='trace a train step instead of inference')
+    ap.add_argument('--preset', default='v1-base',
+                    help="model preset ('v1-base' | 'v1.1-swin-large')")
     args = ap.parse_args(argv)
 
     import jax
@@ -35,11 +40,11 @@ def main(argv=None):
     except Exception:
         pass
 
-    from renderformer_tpu.config import V1_BASE
+    from renderformer_tpu.config import PRESETS
     from renderformer_tpu.models.renderformer import RenderFormer
     from renderformer_tpu.utils.profiling import trace
 
-    model = RenderFormer(V1_BASE)
+    model = RenderFormer(PRESETS[args.preset])
     params = model.init(jax.random.key(0))
     params = jax.device_put(params)
 

@@ -289,8 +289,10 @@ class RenderFormerTrainer:
             self.model.config, extra)
 
     def plot_losses(self):
-        """training_losses.png artifact (train.py:626-641)."""
+        """training_losses.png artifact (train.py:626-641), written next
+        to the TensorBoard logs rather than the process cwd."""
         try:
+            import os
             import matplotlib
             matplotlib.use('Agg')
             import matplotlib.pyplot as plt
@@ -301,7 +303,9 @@ class RenderFormerTrainer:
             ax.set_xlabel('epoch')
             ax.set_ylabel('MSE loss')
             ax.legend()
-            fig.savefig('training_losses.png', dpi=100)
+            os.makedirs(self.cfg.log_dir, exist_ok=True)
+            fig.savefig(os.path.join(self.cfg.log_dir,
+                                     'training_losses.png'), dpi=100)
             plt.close(fig)
         except Exception as e:
             print(f'loss plot skipped: {e}')

@@ -190,9 +190,10 @@ class RenderFormer:
         b, v = rays_o.shape[0], rays_o.shape[1]
         n_tok = seq.shape[1]
 
-        # fan tokens out over views: broadcast, then flatten [B, V] -> [B*V]
-        seq_bv = jnp.broadcast_to(seq[:, None], (b, v, n_tok, seq.shape[-1]))
-        seq_bv = seq_bv.reshape(b * v, n_tok, -1)
+        # tokens are NOT fanned out over views: the decoder's K/V
+        # projections consume them once per scene and broadcast the
+        # projected K/V across views (MultiHeadAttention handles the
+        # batch mismatch); masks and camera-space positions stay per view
         mask_bv = jnp.broadcast_to(mask_padded[:, None], (b, v, n_tok))
         mask_bv = mask_bv.reshape(b * v, n_tok)
         valid_bv = jnp.broadcast_to(valid_mask[:, None], (b, v, valid_mask.shape[1]))
@@ -205,6 +206,6 @@ class RenderFormer:
 
         img = self.view_transformer(
             params['view_transformer'], rays_o_f, rays_d_f,
-            seq_bv, pos_seq, mask_bv, impl=impl, dtype=view_dtype,
+            seq, pos_seq, mask_bv, impl=impl, dtype=view_dtype,
             dropout_rng=view_rng)
         return img.reshape(b, v, *img.shape[1:])

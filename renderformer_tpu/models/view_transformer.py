@@ -91,7 +91,11 @@ class ViewTransformer:
         Args:
             camera_o:  [B, 3] camera origins.
             ray_map:   [B, H, W, 3] unit ray directions.
-            tri_tokens:[B, N_ctx, D] stage-1 output tokens.
+            tri_tokens:[B or B/V, N_ctx, D] stage-1 output tokens.  A
+                       batch that divides B means V views share one
+                       scene's tokens; with pe_type='rope' they stay
+                       un-fanned so the decoder's K/V projections run
+                       once per scene (see MultiHeadAttention).
             tri_pos:   [B, N_ctx, 9] camera-space RoPE positions.
             valid_mask:[B, N_ctx] bool, True = attend.
             dtype:     stage-2 compute dtype (ref: fp32-TF32 / bf16).
@@ -128,6 +132,14 @@ class ViewTransformer:
                       nerf_encode(t, cfg.vertex_pe_num_freqs,
                                   include_input=True).astype(dtype)))
             ray_tokens = ray_tokens + pos_pe(ray_token_pos)
+            if tri_tokens.shape[0] != b:
+                # nerf PE is camera-dependent: fan the shared tokens out
+                # per view before adding it
+                reps = b // tri_tokens.shape[0]
+                tri_tokens = jnp.broadcast_to(
+                    tri_tokens[:, None],
+                    (tri_tokens.shape[0], reps) + tri_tokens.shape[1:]
+                ).reshape(b, *tri_tokens.shape[1:])
             tri_tokens = tri_tokens + pos_pe(tri_pos)
 
         tri_tokens = tri_tokens.astype(dtype)

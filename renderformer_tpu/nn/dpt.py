@@ -43,16 +43,21 @@ def _rcu_init(key, features):
 
 def _fusion_block(params, x, res=None, size=None, has_resconv1=True):
     """FeatureFusionBlock (dpt.py:95-159): optional residual add via RCU1,
-    RCU2, bilinear x2 (or to `size`) align_corners=True, 1x1 out conv."""
+    RCU2, bilinear x2 (or to `size`) align_corners=True, 1x1 out conv.
+
+    The reference applies out_conv AFTER the upsample; a 1x1 conv mixes
+    channels per pixel and bilinear interpolation mixes pixels per
+    channel, so the two commute exactly (up to fp rounding) — we run
+    out_conv at the pre-upsample resolution, 4x cheaper (~1 ms/step at
+    512^2 on v5e, where the post-resize conv is HBM-bound)."""
     if res is not None:
         assert has_resconv1
         x = x + _residual_conv_unit(params['resConvUnit1'], res)
     x = _residual_conv_unit(params['resConvUnit2'], x)
     if size is None:
         size = (x.shape[1] * 2, x.shape[2] * 2)
-    x = resize_bilinear_align_corners(x, size)
     x = conv2d(x, params['out_conv']['kernel'], params['out_conv']['bias'])
-    return x
+    return resize_bilinear_align_corners(x, size)
 
 
 def _fusion_init(key, features, no_resconv1=False):

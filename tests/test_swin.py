@@ -90,3 +90,26 @@ def test_swin_shift_changes_output_but_preserves_shape():
     y1 = m1(params, x)
     assert y0.shape == y1.shape == x.shape
     assert np.abs(np.asarray(y0) - np.asarray(y1)).max() > 1e-4
+
+
+def test_window_ordered_path_matches_legacy():
+    """SwinSelfAttention on a window-ordered [B, S, C] stream (the
+    decoder's layout) == the row-major [B, H, W, C] path, for both
+    shifted and unshifted layers."""
+    from renderformer_tpu.nn.attention import window_order_indices
+
+    rng = np.random.default_rng(3)
+    b, h, w, c, heads, ws = 2, 16, 24, 12, 2, 4
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    for shift in (0, 2):
+        mod = SwinSelfAttention(dim=c, num_heads=heads, window_size=ws,
+                                shift_size=shift, qk_norm=True)
+        params = mod.init(jax.random.key(0))
+        ref = mod(params, x)  # [B, H, W, C]
+
+        wo = np.asarray(window_order_indices(h, w, ws))
+        xs = x.reshape(b, h * w, c)[:, wo]
+        got = mod(params, xs, grid=(h, w))  # [B, S, C] window-ordered
+        got_rm = np.asarray(got)[:, np.argsort(wo)].reshape(b, h, w, c)
+        np.testing.assert_allclose(got_rm, np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

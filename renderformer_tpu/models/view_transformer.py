@@ -110,15 +110,19 @@ class ViewTransformer:
         # vdir NeRF PE (identity at default vdir_num_freqs=0)
         ray_map = nerf_encode(ray_map, cfg.vdir_num_freqs, include_input=True)
         c = ray_map.shape[-1]
-        # 'b (h1 p1) (w1 p2) c -> b (h1 w1) (c p1 p2)'
-        x = ray_map.reshape(b, patch_h, p, patch_w, p, c)
-        x = x.transpose(0, 1, 3, 5, 2, 4)
-        x = x.reshape(b, patch_h * patch_w, c * p * p)
-
-        x = x.astype(dtype)
+        # patchify 'b (h1 p1) (w1 p2) c -> b (h1 w1) (c p1 p2)' FUSED into
+        # the encoder matmul: a multi-dim-contraction dot over (c, p1, p2)
+        # on the 6-D reshape view lets the MXU emitter read the strides
+        # directly instead of materializing the transposed patch tensor
+        # (~0.9 ms of layout copies at 512^2 in the device profile).
+        x = ray_map.reshape(b, patch_h, p, patch_w, p, c).astype(dtype)
+        kern = params['ray_map_encoder']['kernel'].reshape(
+            c, p, p, -1).astype(dtype)
+        enc = jnp.einsum('bhpwqc,cpqd->bhwd', x, kern)
+        enc = enc.reshape(b, patch_h * patch_w, -1)
+        enc = enc + params['ray_map_encoder']['bias'].astype(enc.dtype)
         ray_tokens = params['ray_map_patch_token'].astype(dtype) + apply_norm(
-            cfg.norm_type, params['ray_map_encoder_norm'],
-            dense(params['ray_map_encoder'], x))
+            cfg.norm_type, params['ray_map_encoder_norm'], enc)
         ray_tokens = constrain(ray_tokens, 'ray_tokens')
         n_patches = ray_tokens.shape[1]
 

@@ -37,7 +37,12 @@ def import_reference():
     never call on the torch side)."""
     import types
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # AFTER the repo root: both roots have top-level batch_infer.py /
+        # infer.py / train.py, and `import batch_infer` from the CLI tests
+        # must resolve to the repo's (the reference's pulls in deps this
+        # image lacks). The reference's own packages (renderformer,
+        # scene_processor) don't collide, so appending is safe.
+        sys.path.append(REFERENCE_ROOT)
     sys.modules.setdefault('roma', types.ModuleType('roma'))
     os.environ.setdefault('ATTN_IMPL', 'sdpa')
     import renderformer  # noqa: F401

@@ -320,30 +320,67 @@ def window_reverse(windows, window_size: int, h: int, w: int):
 def window_order_indices(h: int, w: int, window_size: int) -> np.ndarray:
     """Permutation taking a row-major token sequence [S] to unshifted-
     window order (the order window_partition produces), as static numpy
-    indices: out[i] = seq[idx[i]]."""
+    indices: out[i] = seq[idx[i]].  Used by tests; the model applies the
+    permutation as a structured transpose (see seq_to_window_order)."""
     idx = np.arange(h * w).reshape(h, w)
     ws = window_size
     idx = idx.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
     return np.ascontiguousarray(idx.reshape(-1))
 
 
-@functools.lru_cache(maxsize=64)
-def shifted_regroup_indices(h: int, w: int, window_size: int,
-                            shift_size: int):
-    """(fwd, inv) permutations between unshifted-window order and
-    shifted-window order (roll by -shift then re-window), so a shifted
-    Swin layer on a window-ordered stream is take(fwd) -> attend ->
-    take(inv) instead of reverse+roll+partition round trips."""
-    ws, s = window_size, shift_size
-    base = window_order_indices(h, w, ws)          # row-major -> window
-    inv_base = np.argsort(base)                    # window -> row-major
-    rm = np.arange(h * w).reshape(h, w)
-    rolled = np.roll(np.roll(rm, -s, axis=0), -s, axis=1).reshape(-1)
-    # window-ordered stream -> row-major -> rolled row-major -> window
-    fwd = inv_base[rolled[base]]
-    # token at window-order slot base[i]... compose: out[i] =
-    # stream[fwd[i]] gives the shifted-window-ordered stream
-    return fwd, np.argsort(fwd)
+def seq_to_window_order(x, h: int, w: int, ws: int):
+    """[B, h*w, ...] row-major -> window order, as one transpose copy
+    (a TPU gather for the same permutation costs ~10x: measured
+    1.5-3 ms vs ~0.2 ms on [8, 4096, 1024] bf16).  Trailing dims beyond
+    the sequence axis are preserved."""
+    b = x.shape[0]
+    trail = x.shape[2:]
+    c = int(np.prod(trail)) if trail else 1
+    out = window_partition(x.reshape(b, h, w, c), ws)
+    return out.reshape((b, h * w) + trail)
+
+
+def seq_from_window_order(x, h: int, w: int, ws: int):
+    """Inverse of :func:`seq_to_window_order`."""
+    b, s = x.shape[0], x.shape[1]
+    trail = x.shape[2:]
+    c = int(np.prod(trail)) if trail else 1
+    out = window_reverse(x.reshape(-1, ws * ws, c), ws, h, w)
+    return out.reshape((b, s) + trail)
+
+
+def _roll_windowed_axis(x6, wdim: int, idim: int, s: int, ws: int):
+    """Roll a spatial axis by -s on the window-ordered 6-D view
+    [B, Wr, Wc, ir, ic, C], where the axis is split into (window wdim,
+    in-window idim).  Structured slice+roll+concat — no gather:
+        out[.., w, .., i, ..] = x[row w*ws + i + s]  (mod H)
+    """
+    lead = x6[(slice(None),) * idim + (slice(s, ws),)]
+    wrap = jnp.roll(x6, -1, axis=wdim)[(slice(None),) * idim + (slice(0, s),)]
+    return jnp.concatenate([lead, wrap], axis=idim)
+
+
+def _unroll_windowed_axis(x6, wdim: int, idim: int, s: int, ws: int):
+    """Inverse of :func:`_roll_windowed_axis` (roll by +s)."""
+    lead = jnp.roll(x6, 1, axis=wdim)[
+        (slice(None),) * idim + (slice(ws - s, ws),)]
+    rest = x6[(slice(None),) * idim + (slice(0, ws - s),)]
+    return jnp.concatenate([lead, rest], axis=idim)
+
+
+def shifted_regroup(x, h: int, w: int, ws: int, s: int, inverse=False):
+    """Regroup a window-ordered stream [B, S, C] into shifted-window
+    order (the grouping of partition(roll(x, -s)) — or back when
+    ``inverse``), using structured slice/roll/concat ops only."""
+    b, _, c = x.shape
+    x6 = x.reshape(b, h // ws, w // ws, ws, ws, c)
+    if inverse:
+        x6 = _unroll_windowed_axis(x6, 1, 3, s, ws)
+        x6 = _unroll_windowed_axis(x6, 2, 4, s, ws)
+    else:
+        x6 = _roll_windowed_axis(x6, 1, 3, s, ws)
+        x6 = _roll_windowed_axis(x6, 2, 4, s, ws)
+    return x6.reshape(b, h * w, c)
 
 
 @functools.lru_cache(maxsize=64)
@@ -418,8 +455,7 @@ class SwinSelfAttention:
             b, s, c = x.shape
             h, w = grid
             if self.shift_size > 0:
-                fwd, inv = shifted_regroup_indices(h, w, ws, self.shift_size)
-                x = jnp.take(x, jnp.asarray(fwd), axis=1)
+                x = shifted_regroup(x, h, w, ws, self.shift_size)
                 mask = jnp.asarray(swin_attn_mask(h, w, ws, self.shift_size))
                 attn_mask = jnp.tile(mask, (b, 1, 1))[:, None]
             else:
@@ -429,7 +465,8 @@ class SwinSelfAttention:
                 attn_mask, impl)
             out = out.reshape(b, s, c)
             if self.shift_size > 0:
-                out = jnp.take(out, jnp.asarray(inv), axis=1)
+                out = shifted_regroup(out, h, w, ws, self.shift_size,
+                                      inverse=True)
             return out
 
         b, h, w, c = x.shape
@@ -712,16 +749,13 @@ class TransformerDecoder:
         # order-agnostic; q-side RoPE tables are permuted alongside):
         # unshifted Swin layers then window with a free reshape, and the
         # row-major order is restored only at the DPT taps / output.
-        inv_wo = None
-        if self.use_swin_attn:
-            wo = jnp.asarray(window_order_indices(
-                patch_h, patch_w, self.window_size))
-            inv_wo = jnp.asarray(np.argsort(np.asarray(
-                window_order_indices(patch_h, patch_w, self.window_size))))
-            x = jnp.take(x, wo, axis=1)
+        windowed = self.use_swin_attn
+        if windowed:
+            ws = self.window_size
+            x = seq_to_window_order(x, patch_h, patch_w, ws)
             if rope_cos is not None:
-                rope_cos = jnp.take(rope_cos, wo, axis=1)
-                rope_sin = jnp.take(rope_sin, wo, axis=1)
+                rope_cos = seq_to_window_order(rope_cos, patch_h, patch_w, ws)
+                rope_sin = seq_to_window_order(rope_sin, patch_h, patch_w, ws)
 
         outs = []
         for idx, lp in enumerate(params['layers']):
@@ -742,8 +776,8 @@ class TransformerDecoder:
                           rope_ctx_cos, rope_ctx_sin, patch_h, patch_w, impl,
                           dropout_rng=rngs[idx])
             if idx in out_layers:
-                outs.append(x if inv_wo is None
-                            else jnp.take(x, inv_wo, axis=1))
-        if inv_wo is not None:
-            x = jnp.take(x, inv_wo, axis=1)
+                outs.append(x if not windowed else seq_from_window_order(
+                    x, patch_h, patch_w, self.window_size))
+        if windowed:
+            x = seq_from_window_order(x, patch_h, patch_w, self.window_size)
         return x, outs

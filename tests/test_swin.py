@@ -113,3 +113,30 @@ def test_window_ordered_path_matches_legacy():
         got_rm = np.asarray(got)[:, np.argsort(wo)].reshape(b, h, w, c)
         np.testing.assert_allclose(got_rm, np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_shifted_regroup_matches_gather():
+    """Structured slice/roll/concat regroup == the index-permutation
+    definition (partition(roll(x, -s)) on a window-ordered stream)."""
+    from renderformer_tpu.nn.attention import (
+        seq_from_window_order, seq_to_window_order, shifted_regroup,
+        window_order_indices)
+
+    rng = np.random.default_rng(7)
+    b, h, w, c, ws, s = 2, 24, 16, 5, 4, 2
+    x = jnp.asarray(rng.normal(size=(b, h * w, c)), jnp.float32)
+    xw = seq_to_window_order(x, h, w, ws)
+
+    # reference permutation: window order -> row-major -> roll -> window
+    base = np.asarray(window_order_indices(h, w, ws))
+    rolled = np.roll(np.roll(np.arange(h * w).reshape(h, w), -s, axis=0),
+                     -s, axis=1).reshape(-1)
+    fwd = np.argsort(base)[rolled[base]]
+    want = np.asarray(xw)[:, fwd]
+
+    got = shifted_regroup(xw, h, w, ws, s)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    back = shifted_regroup(got, h, w, ws, s, inverse=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(xw))
+    np.testing.assert_array_equal(
+        np.asarray(seq_from_window_order(xw, h, w, ws)), np.asarray(x))

@@ -64,9 +64,13 @@ def group_of(row) -> str:
     cat = (row.get('category') or '').lower()
     name = (row.get('hlo_op_name') or '').lower()
     expr = (row.get('hlo_op_expression') or '').lower()
+    # the op's own expression looks like "%name = <type> custom-call(...)";
+    # matching the whole expression would also catch every op that merely
+    # CONSUMES a custom-call result, inflating that group
+    own = expr.split('(', 1)[0]
     for pat, label in _GROUP_RULES:
         if re.search(pat, name) or re.search(pat, cat) or (
-                pat == r'custom-call' and re.search(pat, expr)):
+                pat == r'custom-call' and re.search(pat, own)):
             return label
     return cat or 'other'
 

@@ -64,6 +64,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _fwd_q_split() -> int:
+    """Independent q sub-chains per forward block in the single-K-block
+    path (RFTPU_FWD_SPLIT; see _fwd_body). 1 = one straight-line chain."""
+    import os
+    return int(os.environ.get('RFTPU_FWD_SPLIT', '1'))
+
+
 def _pick_bk(sk: int, bk: Optional[int]) -> int:
     """Default K-block policy: one block covering the whole K sequence
     whenever it fits VMEM (collapses the online softmax to a single
@@ -106,15 +113,32 @@ def _fwd_body(q, k_ref, v_ref, mask_ref, bi, nkb, bk):
         return logits
 
     if nkb == 1:
-        logits = block_logits(0)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp2(logits - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        acc = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return acc, m, l
+        def chain(qc):
+            logits = jax.lax.dot_general(
+                qc, k_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if mask_ref is not None:
+                mask = mask_ref[bi, :]
+                logits = logits + jnp.where(mask != 0, 0.0, NEG_INF)[None, :]
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp2(logits - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc, m, l
+        # split the q rows into independent chains: the straight-line
+        # S -> softmax -> PV chain serializes MXU and VPU; independent
+        # sub-chains let Mosaic's scheduler overlap one half's softmax
+        # (VPU) with the other half's matmuls (MXU).
+        ns = _fwd_q_split()
+        if ns > 1 and bq % ns == 0 and bq // ns >= 8:
+            parts = [chain(q[i * (bq // ns):(i + 1) * (bq // ns)])
+                     for i in range(ns)]
+            return tuple(jnp.concatenate(t, axis=0) for t in zip(*parts))
+        return chain(q)
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
@@ -181,11 +205,20 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
 
     sq_p = _round_up(sq, bq)
     sk_p = _round_up(sk, bk)
+    # flatten FIRST ([B, S, H, D] -> [B, S, H*D] is a free view of the
+    # projection output), then pad on the flat shape: keeping every
+    # producer's root on the flat layout lets XLA fold the custom-call
+    # layout normalization into the pad/rotate fusions instead of
+    # emitting separate full-tensor copies. Blocks pick the per-head
+    # [*, D] slice via the index map's head coordinate.
+    q2 = q.reshape(b, sq, h * d)
+    k2 = k.reshape(b, sk, h * d)
+    v2 = v.reshape(b, sk, h * d)
     if sq_p != sq:
-        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
+        q2 = jnp.pad(q2, ((0, 0), (0, sq_p - sq), (0, 0)))
     if sk_p != sk:
-        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        k2 = jnp.pad(k2, ((0, 0), (0, sk_p - sk), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, sk_p - sk), (0, 0)))
     # key padding forces the masked kernel even when mask is None
     has_mask = mask is not None or sk_p != sk
     if has_mask:
@@ -195,12 +228,6 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
 
     scale = 1.0 / np.sqrt(d)
     grid = (b, h, sq_p // bq)
-
-    # free reshapes: [B, S, H, D] -> [B, S, H*D]; blocks pick the per-head
-    # [*, D] slice via the index map's head coordinate
-    q2 = q.reshape(b, sq_p, h * d)
-    k2 = k.reshape(b, sk_p, h * d)
-    v2 = v.reshape(b, sk_p, h * d)
 
     out_shape = [jax.ShapeDtypeStruct((b, sq_p, h * d), q.dtype)]
     out_specs = [pl.BlockSpec((None, bq, d),
@@ -746,6 +773,25 @@ def _rot_bhsd(x, cos, sin):
     return (x32 * cos[:, :, None, :] + rot * sin[:, :, None, :]).astype(x.dtype)
 
 
+def _rot_flat(x, cos, sin, h: int):
+    """apply_rope on the FLAT [B, S, H*D] layout (head-shared tables).
+
+    Keeping the fusion root on the flat shape lets XLA fold the layout
+    normalization for the downstream pallas custom call into this pass —
+    the 4-D-rooted variant left an explicit [B, Sk, H*D] copy per
+    call site (~0.07 ms each at the model's shapes)."""
+    b, s, hd = x.shape
+    d = hd // h
+    x32 = x.astype(jnp.float32)
+    x4 = x32.reshape(b, s, h, d)
+    half = d // 2
+    rot = jnp.concatenate([-x4[..., half:], x4[..., :half]],
+                          axis=-1).reshape(b, s, hd)
+    cos_t = jnp.tile(cos, (1, 1, h))
+    sin_t = jnp.tile(sin, (1, 1, h))
+    return (x32 * cos_t + rot * sin_t).astype(x.dtype)
+
+
 def _fwd_qrope_kernel(q_ref, k_ref, v_ref, mask_ref, cosq_ref, sinq_ref,
                       o_ref, lse_ref=None, *, bk: int, with_lse: bool):
     """Masked variant; cosq/sinq arrive pre-scaled by scale*log2(e)."""
@@ -778,15 +824,20 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     sq_p = _round_up(sq, bq)
     sk_p = _round_up(sk, bk)
 
-    k = _rot_bhsd(k, cosk, sink)  # XLA-side, one fused streaming pass
+    # flatten first, rotate/pad on the flat shape (see _flash_fwd /
+    # _rot_flat for why: the flat fusion roots absorb the custom-call
+    # layout normalization)
+    q2 = q.reshape(b, sq, h * d)
+    k2 = _rot_flat(k.reshape(b, sk, h * d), cosk, sink, h)
+    v2 = v.reshape(b, sk, h * d)
 
     if sq_p != sq:
-        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
+        q2 = jnp.pad(q2, ((0, 0), (0, sq_p - sq), (0, 0)))
         cosq = jnp.pad(cosq, ((0, 0), (0, sq_p - sq), (0, 0)))
         sinq = jnp.pad(sinq, ((0, 0), (0, sq_p - sq), (0, 0)))
     if sk_p != sk:
-        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        k2 = jnp.pad(k2, ((0, 0), (0, sk_p - sk), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, sk_p - sk), (0, 0)))
     has_mask = mask is not None or sk_p != sk
     if has_mask:
         if mask is None:
@@ -798,10 +849,6 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     cosq = cosq * (scale * LOG2E)
     sinq = sinq * (scale * LOG2E)
     grid = (b, h, sq_p // bq)
-
-    q2 = q.reshape(b, sq_p, h * d)
-    k2 = k.reshape(b, sk_p, h * d)
-    v2 = v.reshape(b, sk_p, h * d)
 
     def fold_spec(block_s):
         return pl.BlockSpec((None, block_s, d),

@@ -137,7 +137,13 @@ def main():
         inflight.append((rendered_dev, batch))
         if len(inflight) > 1:
             flush(*inflight.pop(0))
-        # steady-state: one loop iteration = one batch through the pipeline
+        # Pipelined timing semantics: window i measures dispatch(i) +
+        # host-sync of batch i-1, so per-window time == one batch through
+        # the pipeline ONLY in steady state.  The first window is
+        # dispatch-only (near zero — summary(warmup=1) drops it) and the
+        # last batch's sync lands outside any window; reported rays/s is
+        # therefore the steady-state pipelined figure and needs >=3
+        # batches to be meaningful (ADVICE r2).
         meter.stop()
     for item in inflight:
         flush(*item)
@@ -148,10 +154,13 @@ def main():
     if meter is not None:
         summary = meter.summary()
         if summary:
+            qualifier = ('' if len(meter._times) >= 3 else
+                         ', <3 batches: not steady-state')
             print('throughput: %.0f rays/s, %.0f ray-tokens/s '
-                  '(mean %.3fs/batch, first batch excluded)' % (
+                  '(steady-state pipelined; mean %.3fs/batch, first batch '
+                  'excluded%s)' % (
                       summary['rays_per_s'], summary['ray_tokens_per_s'],
-                      summary['mean_step_s']))
+                      summary['mean_step_s'], qualifier))
     if args.save_video and video_frames:
         video_path = os.path.join(output_dir, 'video.mp4')
         write_video(video_path, video_frames, fps=args.fps)

@@ -3,8 +3,22 @@
 Parity with /root/reference/generate_dataset.py:13-479: randomized
 object pose / roughness / light height / fov inside a Cornell-box
 template, asyncio semaphore-bounded fan-out, JSON + H5 saves, and a GT
-path-trace subprocess per scene (``blenderproc``), tolerated-with-warning
-when Blender isn't installed (generate_dataset.py:370-374).
+render per scene.
+
+GT sources (``--gt_mode``) — the reference only supports Blender
+(generate_dataset.py:342-386); this generator adds two in-framework
+sources so the dataset -> train loop is executable WITHOUT Blender:
+
+  * ``blender`` — blenderproc path-trace subprocess (reference parity),
+    tolerated-with-warning when not installed;
+  * ``model``   — render GT with this framework's own pipeline in fp32
+    (``--gt_preset``/``--gt_checkpoint`` pick the weights): the
+    self-distillation / overfit-recovery data source used by the
+    convergence tests;
+  * ``raster``  — the software debug rasterizer (render_h5_to_png.py):
+    geometry-faithful flat-shaded images, no ML weights involved;
+  * ``none``    — scenes only;
+  * ``auto``    — blender when available, else raster.
 """
 
 import asyncio
@@ -29,6 +43,11 @@ CONFIG = {
     'SCRIPT_NAME': 'render_scene.py',
     'NUM_RANDOM_SCENES': 10,
     'MAX_CONCURRENT_TASKS': 4,
+    'GT_MODE': 'auto',          # blender | model | raster | none | auto
+    'GT_RESOLUTION': 256,
+    'GT_PRESET': 'v1-base',     # for GT_MODE=model
+    'GT_CHECKPOINT': None,      # orbax checkpoint dir; None -> seeded init
+    'GT_SEED': 0,
 }
 
 
@@ -56,6 +75,10 @@ class SceneGenerator:
         for p in (self.json_path, self.h5_path, self.gt_path):
             p.mkdir(parents=True, exist_ok=True)
         self.available_objects = self._collect_objects()
+        mode = config.get('GT_MODE', 'auto')
+        if mode == 'auto':
+            mode = 'blender' if shutil.which('blenderproc') else 'raster'
+        self.gt_mode = mode
 
     def _collect_objects(self) -> List[tuple]:
         objects = []
@@ -143,22 +166,26 @@ class SceneGenerator:
             h5_file = self.h5_path / f'{scene_name}.h5'
             save_dict_to_h5_renderformer_method(scene, str(h5_file))
 
-            # GT path-trace via blenderproc, tolerated if unavailable
-            if shutil.which('blenderproc'):
-                script = (Path(__file__).parent / 'renderformer_tpu' / 'scene'
-                          / self.config['SCRIPT_NAME'])
-                cmd = (f'blenderproc run {script} -j {json_file} '
-                       f'-o {self.gt_path} -i {scene_name}.png')
-                proc = await asyncio.create_subprocess_shell(
-                    cmd, stdout=asyncio.subprocess.PIPE,
-                    stderr=asyncio.subprocess.PIPE)
-                _, stderr = await proc.communicate()
-                if proc.returncode != 0:
-                    print(f'Warning: GT render failed for {scene_name}: '
-                          f'{stderr.decode()[:500]}')
-            else:
-                print(f'Warning: blenderproc not available; no GT for '
-                      f'{scene_name} (scene JSON/H5 still written)')
+            # GT path-trace via blenderproc, tolerated if unavailable;
+            # model/raster GT modes render in a single batch pass after
+            # generation (render_gt_batch)
+            if self.gt_mode == 'blender':
+                if shutil.which('blenderproc'):
+                    script = (Path(__file__).parent / 'renderformer_tpu'
+                              / 'scene' / self.config['SCRIPT_NAME'])
+                    cmd = (f'blenderproc run {script} -j {json_file} '
+                           f'-o {self.gt_path} -i {scene_name}.png')
+                    proc = await asyncio.create_subprocess_shell(
+                        cmd, stdout=asyncio.subprocess.PIPE,
+                        stderr=asyncio.subprocess.PIPE)
+                    _, stderr = await proc.communicate()
+                    if proc.returncode != 0:
+                        print(f'Warning: GT render failed for {scene_name}: '
+                              f'{stderr.decode()[:500]}')
+                else:
+                    print(f'Warning: blenderproc not available; no GT for '
+                          f'{scene_name} (scene JSON/H5 still written; use '
+                          f'--gt_mode model|raster for an in-framework GT)')
             print(f'Generated scene {scene_name}')
         except Exception as e:
             print(f'Error converting {scene_name}: {e} '
@@ -187,9 +214,118 @@ class SceneGenerator:
 
     def generate_dataset_sync(self):
         asyncio.run(self.generate_dataset())
+        self.render_gt_batch()
+
+    # ------------------------------------------------------------------
+    def render_gt_batch(self):
+        """Render GT PNGs for every generated H5 with the configured
+        in-framework source (gt_mode 'model' or 'raster').
+
+        Runs AFTER scene generation in one pass so 'model' compiles the
+        render once and streams scenes through it (the reference's
+        per-scene Blender subprocess has no compile to amortize)."""
+        if self.gt_mode not in ('model', 'raster'):
+            return
+        import numpy as np
+        import imageio
+
+        h5_files = sorted(glob.glob(str(self.h5_path / '*.h5')))
+        if not h5_files:
+            return
+        res = int(self.config.get('GT_RESOLUTION', 256))
+
+        if self.gt_mode == 'raster':
+            from render_h5_to_png import debug_render
+            from renderformer_tpu.io.h5 import load_scene_h5
+            for f in h5_files:
+                data = load_scene_h5(f)
+                img = debug_render(data, view=0, resolution=res)
+                name = Path(f).stem
+                imageio.v3.imwrite(
+                    str(self.gt_path / f'{name}.png'),
+                    (np.clip(img, 0, 1) * 255).astype(np.uint8))
+                print(f'GT (raster) {name}.png')
+            return
+
+        # gt_mode == 'model': fp32 render through the full pipeline
+        import jax
+        from renderformer_tpu.config import PRESETS, RenderFormerConfig
+        from renderformer_tpu.models.renderformer import RenderFormer
+        from renderformer_tpu.pipelines.rendering_pipeline import (
+            RenderingPipeline)
+        from renderformer_tpu.io.h5 import load_scene_h5
+
+        ckpt = self.config.get('GT_CHECKPOINT')
+        if ckpt:
+            # any local checkpoint dir (export_params / converted torch)
+            pipe = RenderingPipeline.from_pretrained(ckpt)
+        else:
+            preset = self.config.get('GT_PRESET', 'v1-base')
+            if preset == 'tiny':  # CI-scale GT source
+                cfg = RenderFormerConfig(
+                    latent_dim=72, num_layers=2, num_heads=2,
+                    dim_feedforward=144, num_register_tokens=4,
+                    vertex_pe_num_freqs=4, view_transformer_latent_dim=72,
+                    view_transformer_ffn_hidden_dim=144,
+                    view_transformer_n_heads=2, view_transformer_n_layers=4,
+                    dpt_features=16, dpt_out_channels=[8, 16, 32, 64])
+            else:
+                cfg = PRESETS[preset]
+            model = RenderFormer(cfg)
+            params = model.init(
+                jax.random.key(int(self.config.get('GT_SEED', 0))))
+            pipe = RenderingPipeline(model, params)
+        for f in h5_files:
+            data = load_scene_h5(f)
+            imgs = np.asarray(pipe.render(
+                data['triangles'][None], data['texture'][None],
+                data['mask'][None], data['vn'][None],
+                data['c2w'][None], data['fov'][None, :, None],
+                resolution=res, precision='fp32', view_precision='fp32'))
+            name = Path(f).stem
+            imageio.v3.imwrite(
+                str(self.gt_path / f'{name}.png'),
+                (np.clip(imgs[0, 0], 0, 1) * 255).astype(np.uint8))
+            print(f'GT (model/{preset}) {name}.png')
 
 
-def main():
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--data_path', default=None,
+                    help='dataset root (json/h5/gt subdirs)')
+    ap.add_argument('--num_scenes', type=int,
+                    default=CONFIG['NUM_RANDOM_SCENES'])
+    ap.add_argument('--obj_path', default=None)
+    ap.add_argument('--gt_mode', default=CONFIG['GT_MODE'],
+                    choices=['blender', 'model', 'raster', 'none', 'auto'])
+    ap.add_argument('--gt_resolution', type=int,
+                    default=CONFIG['GT_RESOLUTION'])
+    ap.add_argument('--gt_preset', default=CONFIG['GT_PRESET'],
+                    help="'tiny' | 'v1-base' | 'v1.1-swin-large' "
+                         '(gt_mode=model)')
+    ap.add_argument('--gt_checkpoint', default=None,
+                    help='local checkpoint dir for gt_mode=model')
+    ap.add_argument('--seed', type=int, default=None,
+                    help='scene randomization seed')
+    args = ap.parse_args(argv)
+
+    if args.data_path:
+        CONFIG['DATA_PATH'] = args.data_path
+        CONFIG['JSON_PATH'] = os.path.join(args.data_path, 'json')
+        CONFIG['H5_PATH'] = os.path.join(args.data_path, 'h5')
+        CONFIG['GT_PATH'] = os.path.join(args.data_path, 'gt')
+    if args.obj_path:
+        CONFIG['OBJ_PATH'] = args.obj_path
+    CONFIG['NUM_RANDOM_SCENES'] = args.num_scenes
+    CONFIG['GT_MODE'] = args.gt_mode
+    CONFIG['GT_RESOLUTION'] = args.gt_resolution
+    CONFIG['GT_PRESET'] = args.gt_preset
+    CONFIG['GT_CHECKPOINT'] = args.gt_checkpoint
+    if args.seed is not None:
+        random.seed(args.seed)
+        CONFIG['GT_SEED'] = args.seed
+
     if not os.path.isdir(CONFIG['OBJ_PATH']):
         # fall back to the reference's example objects when present
         ref = '/root/reference/examples'
@@ -200,7 +336,7 @@ def main():
     if not gen.available_objects:
         print(f'no .obj files under {CONFIG["OBJ_PATH"]}')
         return 1
-    asyncio.run(gen.generate_dataset())
+    gen.generate_dataset_sync()
     return 0
 
 

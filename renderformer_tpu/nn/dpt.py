@@ -24,6 +24,62 @@ from renderformer_tpu.nn.conv import (
 from renderformer_tpu.nn.core import silu
 
 
+def _tail_mode() -> str:
+    """Output-tail evaluation strategy (RFTPU_DPT_TAIL):
+
+    * ``plain``    — sequential convs as written (reference semantics;
+      the 128->64->32->3 channel funnel starves the 128-lane MXU:
+      41-75 TF/s, ~7.9 ms at 512^2 x8 views on v5e);
+    * ``s2d``      — each 3x3 conv in space-to-depth form (ops/s2d_conv):
+      hits the 194 TF/s roof but 4x FLOPs + the layout copy make it a
+      measured net LOSS (96.8 vs 94.0 ms/step device) — kept for A/B;
+    * ``composed`` — conv1/conv2a composed into ONE 5x5 conv before the
+      s2d transform (36/25 tap overhead instead of 4x) with an exact
+      1px ring fix (ops/dpt_tail.py).  Default.
+
+    All three are exact up to fp summation order
+    (tests/test_dpt_tail.py, tests/test_s2d_conv.py).
+    """
+    import os
+    mode = os.environ.get('RFTPU_DPT_TAIL', '')
+    if mode in ('plain', 's2d', 'composed'):
+        return mode
+    # legacy round-3 A/B flag
+    if os.environ.get('RFTPU_S2D_TAIL', '0') != '0':
+        return 's2d'
+    return 'composed'
+
+
+def _block_diag_1x1(kernel):
+    """[1, 1, C, O] -> [1, 1, 4C, 4O] block-diagonal kernel: a 1x1 conv
+    commutes with space-to-depth (it mixes channels per pixel)."""
+    _, _, c, o = kernel.shape
+    kk = jnp.zeros((1, 1, 4 * c, 4 * o), kernel.dtype)
+    for i in range(4):
+        kk = kk.at[0, 0, i * c:(i + 1) * c, i * o:(i + 1) * o].set(
+            kernel[0, 0])
+    return kk
+
+
+def _output_tail_s2d(scratch, x):
+    """output_conv1 -> output_conv2 chain in space-to-depth form, one
+    layout pass each way (module docstring of ops/s2d_conv.py has the
+    math; parity with reference dpt.py:243-273)."""
+    from renderformer_tpu.ops.s2d_conv import (
+        depth_to_space, s2d_block_kernel, space_to_depth)
+    oc1 = scratch['output_conv1']
+    oc2 = scratch['output_conv2']
+    x = space_to_depth(x)
+    x = conv2d(x, s2d_block_kernel(oc1['kernel']),
+               jnp.tile(oc1['bias'], 4), padding=1)
+    x = conv2d(x, s2d_block_kernel(oc2['conv1']['kernel']),
+               jnp.tile(oc2['conv1']['bias'], 4), padding=1)
+    x = silu(x)
+    x = conv2d(x, _block_diag_1x1(oc2['conv2']['kernel']),
+               jnp.tile(oc2['conv2']['bias'], 4))
+    return depth_to_space(x)
+
+
 def _residual_conv_unit(params, x):
     """act -> conv -> act -> conv -> +x (dpt.py:57-92), SiLU activation."""
     out = silu(x)
@@ -41,7 +97,8 @@ def _rcu_init(key, features):
     }
 
 
-def _fusion_block(params, x, res=None, size=None, has_resconv1=True):
+def _fusion_block(params, x, res=None, size=None, has_resconv1=True,
+                  skip_resize=False):
     """FeatureFusionBlock (dpt.py:95-159): optional residual add via RCU1,
     RCU2, bilinear x2 (or to `size`) align_corners=True, 1x1 out conv.
 
@@ -49,7 +106,11 @@ def _fusion_block(params, x, res=None, size=None, has_resconv1=True):
     channels per pixel and bilinear interpolation mixes pixels per
     channel, so the two commute exactly (up to fp rounding) — we run
     out_conv at the pre-upsample resolution, 4x cheaper (~1 ms/step at
-    512^2 on v5e, where the post-resize conv is HBM-bound)."""
+    512^2 on v5e, where the post-resize conv is HBM-bound).
+
+    ``skip_resize`` returns the pre-upsample tensor: the composed output
+    tail fuses the final x2 upsample with its space-to-depth transform
+    (ops/fused_resize.fused_resize_s2d)."""
     if res is not None:
         assert has_resconv1
         x = x + _residual_conv_unit(params['resConvUnit1'], res)
@@ -57,6 +118,8 @@ def _fusion_block(params, x, res=None, size=None, has_resconv1=True):
     if size is None:
         size = (x.shape[1] * 2, x.shape[2] * 2)
     x = conv2d(x, params['out_conv']['kernel'], params['out_conv']['bias'])
+    if skip_resize:
+        return x
     return resize_bilinear_align_corners(x, size)
 
 
@@ -143,12 +206,51 @@ class DPTHead:
                            size=l3.shape[1:3], has_resconv1=False)
         p3 = _fusion_block(scratch['refinenet3'], p4, l3, size=l2.shape[1:3])
         p2 = _fusion_block(scratch['refinenet2'], p3, l2, size=l1.shape[1:3])
-        p1 = _fusion_block(scratch['refinenet1'], p2, l1)
 
+        out_hw = (patch_h * patch_size, patch_w * patch_size)
+        mode = _tail_mode()
+        # the fast tails require the mid-tail resize to be the identity
+        # (refinenet1's x2 upsample already lands at full resolution for
+        # patch_size 8) and even spatial dims for space-to-depth
+        t_hw = (l1.shape[1] * 2, l1.shape[2] * 2)
+        fast_ok = (t_hw == out_hw and out_hw[0] % 2 == 0
+                   and out_hw[1] % 2 == 0)
+        if mode == 'composed' and fast_ok:
+            from renderformer_tpu.ops.dpt_tail import composed_tail_full
+            from renderformer_tpu.ops.fused_resize import (
+                fused_resize_s2d, fused_resize_s2d_supported)
+            oc1 = scratch['output_conv1']
+            oc2 = scratch['output_conv2']
+            t = _fusion_block(scratch['refinenet1'], p2, l1,
+                              skip_resize=True)
+            if fused_resize_s2d_supported(t, out_hw):
+                # upsample directly into s2d layout; the full-res u is
+                # never materialized (borders come from 1-D edge resizes
+                # — align_corners maps edges to edges exactly)
+                u_s2d = fused_resize_s2d(t, out_hw)
+                from renderformer_tpu.nn.conv import _resize_axis
+                borders = (
+                    _resize_axis(t[:, 0], 1, out_hw[1]),
+                    _resize_axis(t[:, -1], 1, out_hw[1]),
+                    _resize_axis(t[:, :, 0], 1, out_hw[0]),
+                    _resize_axis(t[:, :, -1], 1, out_hw[0]),
+                )
+                u = None
+            else:
+                u = resize_bilinear_align_corners(t, out_hw)
+                u_s2d = borders = None
+            return composed_tail_full(
+                u, oc1['kernel'], oc1['bias'],
+                oc2['conv1']['kernel'], oc2['conv1']['bias'],
+                oc2['conv2']['kernel'], oc2['conv2']['bias'], silu,
+                u_s2d=u_s2d, borders=borders)
+
+        p1 = _fusion_block(scratch['refinenet1'], p2, l1)
+        if mode == 's2d' and fast_ok and p1.shape[1:3] == out_hw:
+            return _output_tail_s2d(scratch, p1)
         out = conv2d(p1, scratch['output_conv1']['kernel'],
                      scratch['output_conv1']['bias'], padding=1)
-        out = resize_bilinear_align_corners(
-            out, (patch_h * patch_size, patch_w * patch_size))
+        out = resize_bilinear_align_corners(out, out_hw)
         oc2 = scratch['output_conv2']
         out = conv2d(out, oc2['conv1']['kernel'], oc2['conv1']['bias'], padding=1)
         out = silu(out)

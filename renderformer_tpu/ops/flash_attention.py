@@ -66,7 +66,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_q_split() -> int:
     """Independent q sub-chains per forward block in the single-K-block
-    path (RFTPU_FWD_SPLIT; see _fwd_body). 1 = one straight-line chain."""
+    path (see _fwd_body). Read ONCE per call in the public wrappers and
+    threaded through as a static argument so it participates in the jit
+    cache key — in-process sweeps that flip the env var retrace instead
+    of silently reusing the previously compiled kernel."""
     import os
     return int(os.environ.get('RFTPU_FWD_SPLIT', '1'))
 
@@ -86,7 +89,7 @@ def _pick_bk(sk: int, bk: Optional[int]) -> int:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_body(q, k_ref, v_ref, mask_ref, bi, nkb, bk):
+def _fwd_body(q, k_ref, v_ref, mask_ref, bi, nkb, bk, split=1):
     """Online softmax over K blocks, exp2 domain.
 
     `q` comes pre-scaled by softmax_scale * log2(e), so the loop body is
@@ -133,7 +136,7 @@ def _fwd_body(q, k_ref, v_ref, mask_ref, bi, nkb, bk):
         # S -> softmax -> PV chain serializes MXU and VPU; independent
         # sub-chains let Mosaic's scheduler overlap one half's softmax
         # (VPU) with the other half's matmuls (MXU).
-        ns = _fwd_q_split()
+        ns = split
         if ns > 1 and bq % ns == 0 and bq // ns >= 8:
             parts = [chain(q[i * (bq // ns):(i + 1) * (bq // ns)])
                      for i in range(ns)]
@@ -173,7 +176,7 @@ def _fwd_epilogue(acc, m2, l, o_ref, lse_ref, with_lse):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None, *,
-                bk: int, scale: float, with_lse: bool):
+                bk: int, scale: float, with_lse: bool, split: int = 1):
     """One (batch, head, q-block) grid step, masked variant.
 
     q_ref: [bq, D]; k_ref/v_ref: [Sk, D]; mask_ref: [B, Sk] (int32,
@@ -183,23 +186,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None, *,
     sk = k_ref.shape[0]
     bi = pl.program_id(0)
     q = (q_ref[:].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
-    acc, m2, l = _fwd_body(q, k_ref, v_ref, mask_ref, bi, sk // bk, bk)
+    acc, m2, l = _fwd_body(q, k_ref, v_ref, mask_ref, bi, sk // bk, bk, split)
     _fwd_epilogue(acc, m2, l, o_ref, lse_ref, with_lse)
 
 
 def _fwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
-                       bk: int, scale: float, with_lse: bool):
+                       bk: int, scale: float, with_lse: bool,
+                       split: int = 1):
     """Unmasked variant — no mask ref, no bias pass (ray self-attention)."""
     sk = k_ref.shape[0]
     q = (q_ref[:].astype(jnp.float32) * (scale * LOG2E)).astype(q_ref.dtype)
-    acc, m2, l = _fwd_body(q, k_ref, v_ref, None, 0, sk // bk, bk)
+    acc, m2, l = _fwd_body(q, k_ref, v_ref, None, 0, sk // bk, bk, split)
     _fwd_epilogue(acc, m2, l, o_ref, lse_ref, with_lse)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('bq', 'bk', 'interpret', 'with_lse'))
+                   static_argnames=('bq', 'bk', 'interpret', 'with_lse',
+                                    'split'))
 def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
-               with_lse: bool = False):
+               with_lse: bool = False, split: int = 1):
     b, sq, h, d = q.shape
     sk = k.shape[1]
 
@@ -257,10 +262,10 @@ def _flash_fwd(q, k, v, mask, bq: int, bk: int, interpret: bool,
                                      memory_space=pltpu.VMEM))
         operands.append(mask)
         kernel = functools.partial(_fwd_kernel, bk=bk, scale=scale,
-                                   with_lse=with_lse)
+                                   with_lse=with_lse, split=split)
     else:
         kernel = functools.partial(_fwd_kernel_nomask, bk=bk, scale=scale,
-                                   with_lse=with_lse)
+                                   with_lse=with_lse, split=split)
 
     res = pl.pallas_call(
         kernel,
@@ -674,17 +679,18 @@ def _flash_bwd(q, k, v, mask, out, lse, do, bq: int, bk: int,
 # custom_vjp plumbing
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, mask, bq, bk, interpret):
-    return _flash_fwd(q, k, v, mask, bq, bk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, mask, bq, bk, interpret, split=1):
+    return _flash_fwd(q, k, v, mask, bq, bk, interpret, split=split)
 
 
-def _flash_vjp_fwd(q, k, v, mask, bq, bk, interpret):
-    out, lse = _flash_fwd(q, k, v, mask, bq, bk, interpret, with_lse=True)
+def _flash_vjp_fwd(q, k, v, mask, bq, bk, interpret, split=1):
+    out, lse = _flash_fwd(q, k, v, mask, bq, bk, interpret, with_lse=True,
+                          split=split)
     return out, (q, k, v, mask, out, lse)
 
 
-def _flash_vjp_bwd(bq, bk, interpret, res, g):
+def _flash_vjp_bwd(bq, bk, interpret, split, res, g):
     q, k, v, mask, out, lse = res
     dq, dk, dv = _flash_bwd(q, k, v, mask, out, lse, g, bq, bk, interpret)
     return dq, dk, dv, None
@@ -693,17 +699,18 @@ def _flash_vjp_bwd(bq, bk, interpret, res, g):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_nomask(q, k, v, bq, bk, interpret):
-    return _flash_fwd(q, k, v, None, bq, bk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_nomask(q, k, v, bq, bk, interpret, split=1):
+    return _flash_fwd(q, k, v, None, bq, bk, interpret, split=split)
 
 
-def _flash_nomask_vjp_fwd(q, k, v, bq, bk, interpret):
-    out, lse = _flash_fwd(q, k, v, None, bq, bk, interpret, with_lse=True)
+def _flash_nomask_vjp_fwd(q, k, v, bq, bk, interpret, split=1):
+    out, lse = _flash_fwd(q, k, v, None, bq, bk, interpret, with_lse=True,
+                          split=split)
     return out, (q, k, v, out, lse)
 
 
-def _flash_nomask_vjp_bwd(bq, bk, interpret, res, g):
+def _flash_nomask_vjp_bwd(bq, bk, interpret, split, res, g):
     q, k, v, out, lse = res
     dq, dk, dv = _flash_bwd(q, k, v, None, out, lse, g, bq, bk, interpret)
     return dq, dk, dv
@@ -736,8 +743,8 @@ def flash_attention(q, k, v, mask=None,
     bq = min(bq if bq is not None else _default_bq(), _round_up(sq, 128))
     bk = _pick_bk(sk, bk)
     if mask is None:
-        return _flash_nomask(q, k, v, bq, bk, interpret)
-    return _flash(q, k, v, mask, bq, bk, interpret)
+        return _flash_nomask(q, k, v, bq, bk, interpret, _fwd_q_split())
+    return _flash(q, k, v, mask, bq, bk, interpret, _fwd_q_split())
 
 
 # ---------------------------------------------------------------------------
@@ -793,31 +800,33 @@ def _rot_flat(x, cos, sin, h: int):
 
 
 def _fwd_qrope_kernel(q_ref, k_ref, v_ref, mask_ref, cosq_ref, sinq_ref,
-                      o_ref, lse_ref=None, *, bk: int, with_lse: bool):
+                      o_ref, lse_ref=None, *, bk: int, with_lse: bool,
+                      split: int = 1):
     """Masked variant; cosq/sinq arrive pre-scaled by scale*log2(e)."""
     sk = k_ref.shape[0]
     bi = pl.program_id(0)
     q = _rot(q_ref[:].astype(jnp.float32),
              cosq_ref[:], sinq_ref[:]).astype(q_ref.dtype)
-    acc, m2, l = _fwd_body(q, k_ref, v_ref, mask_ref, bi, sk // bk, bk)
+    acc, m2, l = _fwd_body(q, k_ref, v_ref, mask_ref, bi, sk // bk, bk, split)
     _fwd_epilogue(acc, m2, l, o_ref, lse_ref, with_lse)
 
 
 def _fwd_qrope_kernel_nomask(q_ref, k_ref, v_ref, cosq_ref, sinq_ref,
                              o_ref, lse_ref=None, *, bk: int,
-                             with_lse: bool):
+                             with_lse: bool, split: int = 1):
     sk = k_ref.shape[0]
     q = _rot(q_ref[:].astype(jnp.float32),
              cosq_ref[:], sinq_ref[:]).astype(q_ref.dtype)
-    acc, m2, l = _fwd_body(q, k_ref, v_ref, None, 0, sk // bk, bk)
+    acc, m2, l = _fwd_body(q, k_ref, v_ref, None, 0, sk // bk, bk, split)
     _fwd_epilogue(acc, m2, l, o_ref, lse_ref, with_lse)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('bq', 'bk', 'interpret', 'with_lse'))
+                   static_argnames=('bq', 'bk', 'interpret', 'with_lse',
+                                    'split'))
 def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
                     bq: int, bk: int, interpret: bool,
-                    with_lse: bool = False):
+                    with_lse: bool = False, split: int = 1):
     """cos/sin: [B, S, D] fp32, shared across heads."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -881,10 +890,10 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
                                      memory_space=pltpu.VMEM))
         operands.append(mask)
         kernel = functools.partial(_fwd_qrope_kernel, bk=bk,
-                                   with_lse=with_lse)
+                                   with_lse=with_lse, split=split)
     else:
         kernel = functools.partial(_fwd_qrope_kernel_nomask, bk=bk,
-                                   with_lse=with_lse)
+                                   with_lse=with_lse, split=split)
     in_specs += [rope_q_spec(), rope_q_spec()]
     operands += [cosq, sinq]
 
@@ -910,20 +919,21 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     return (out, lse) if with_lse else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _flash_rope(q, k, v, mask, cosq, sinq, cosk, sink, bq, bk, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _flash_rope(q, k, v, mask, cosq, sinq, cosk, sink, bq, bk, interpret,
+                split=1):
     return _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
-                           bq, bk, interpret)
+                           bq, bk, interpret, split=split)
 
 
 def _flash_rope_vjp_fwd(q, k, v, mask, cosq, sinq, cosk, sink,
-                        bq, bk, interpret):
+                        bq, bk, interpret, split=1):
     out, lse = _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
-                               bq, bk, interpret, with_lse=True)
+                               bq, bk, interpret, with_lse=True, split=split)
     return out, (q, k, v, mask, cosq, sinq, cosk, sink, out, lse)
 
 
-def _flash_rope_vjp_bwd(bq, bk, interpret, res, g):
+def _flash_rope_vjp_bwd(bq, bk, interpret, split, res, g):
     q, k, v, mask, cosq, sinq, cosk, sink, out, lse = res
     # recompute rotated primals, run the standard backward, then rotate
     # dq/dk back (orthogonal rotation: inverse == negated sin)
@@ -941,20 +951,21 @@ def _flash_rope_vjp_bwd(bq, bk, interpret, res, g):
 _flash_rope.defvjp(_flash_rope_vjp_fwd, _flash_rope_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _flash_rope_nomask(q, k, v, cosq, sinq, cosk, sink, bq, bk, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _flash_rope_nomask(q, k, v, cosq, sinq, cosk, sink, bq, bk, interpret,
+                       split=1):
     return _flash_fwd_rope(q, k, v, None, cosq, sinq, cosk, sink,
-                           bq, bk, interpret)
+                           bq, bk, interpret, split=split)
 
 
 def _flash_rope_nomask_vjp_fwd(q, k, v, cosq, sinq, cosk, sink,
-                               bq, bk, interpret):
+                               bq, bk, interpret, split=1):
     out, lse = _flash_fwd_rope(q, k, v, None, cosq, sinq, cosk, sink,
-                               bq, bk, interpret, with_lse=True)
+                               bq, bk, interpret, with_lse=True, split=split)
     return out, (q, k, v, cosq, sinq, cosk, sink, out, lse)
 
 
-def _flash_rope_nomask_vjp_bwd(bq, bk, interpret, res, g):
+def _flash_rope_nomask_vjp_bwd(bq, bk, interpret, split, res, g):
     q, k, v, cosq, sinq, cosk, sink, out, lse = res
     q_rot = _rot_bhsd(q, cosq, sinq)
     k_rot = _rot_bhsd(k, cosk, sink)
@@ -999,6 +1010,6 @@ def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     sink = jax.lax.stop_gradient(sink.astype(jnp.float32))
     if mask is None:
         return _flash_rope_nomask(q, k, v, cosq, sinq, cosk, sink,
-                                  bq, bk, interpret)
+                                  bq, bk, interpret, _fwd_q_split())
     return _flash_rope(q, k, v, mask, cosq, sinq, cosk, sink,
-                       bq, bk, interpret)
+                       bq, bk, interpret, _fwd_q_split())

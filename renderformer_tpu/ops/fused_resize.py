@@ -214,6 +214,149 @@ def fused_resize(x, out_hw, interpret: bool = False):
     return _resize(x, int(out_hw[0]), int(out_hw[1]), interpret)
 
 
+# ---------------------------------------------------------------------------
+# Fused resize -> space-to-depth (the composed DPT tail's input transform)
+#
+# Emits the resized image DIRECTLY in s2d layout [B, OH/2, OW/2, 4C]
+# (packing s2d(u)[i, j, (a*2+b)C + c] = u[2i+a, 2j+b, c]) so the 512^2
+# NHWC tensor and the separate space_to_depth copy (measured 2.2 + 1.6
+# ms/step on v5e at the v1-base shapes) are never materialized.  The
+# W-pass uses parity-split interpolation matrices: out rows/cols of each
+# parity are separate banded matmuls whose results concatenate along the
+# channel axis — no in-kernel relayout.
+# ---------------------------------------------------------------------------
+
+def _kernel_s2d(starts_ref, mh_ref, mwe_ref, mwo_ref, x_hbm, o_ref,
+                xw, tmp, sem, *, bh: int):
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(starts_ref[k], xw.shape[0]), :, :], xw, sem)
+    dma.start()
+    dma.wait()
+
+    r, iw, c = xw.shape
+    ow2 = mwe_ref.shape[0]
+    dt = o_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    t = jax.lax.dot_general(
+        mh_ref[:].astype(dt), xw[:].reshape(r, iw * c),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec)
+    tmp[:] = t.astype(dt).reshape(bh, iw, c)
+
+    mwe = mwe_ref[:].astype(dt)
+    mwo = mwo_ref[:].astype(dt)
+
+    def wpass(row, m):
+        return jax.lax.dot_general(
+            m, row, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(dt)
+
+    def body(i, _):
+        row0 = tmp[pl.ds(2 * i, 1)].reshape(iw, c)
+        row1 = tmp[pl.ds(2 * i + 1, 1)].reshape(iw, c)
+        # four channel-range stores instead of an in-kernel concat (the
+        # concat formulation hung the Mosaic compiler); each 128-lane
+        # window is tile-aligned
+        o_ref[pl.ds(i, 1), :, 0 * c:1 * c] = wpass(row0, mwe).reshape(
+            1, ow2, c)
+        o_ref[pl.ds(i, 1), :, 1 * c:2 * c] = wpass(row0, mwo).reshape(
+            1, ow2, c)
+        o_ref[pl.ds(i, 1), :, 2 * c:3 * c] = wpass(row1, mwe).reshape(
+            1, ow2, c)
+        o_ref[pl.ds(i, 1), :, 3 * c:4 * c] = wpass(row1, mwo).reshape(
+            1, ow2, c)
+        return 0
+
+    jax.lax.fori_loop(0, bh // 2, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('oh', 'ow', 'interpret'))
+def _apply2d_s2d(x, oh: int, ow: int, interpret: bool):
+    b, ih, iw, c = x.shape
+    mh, mw = _axis_matrices(ih, iw, oh, ow, False)
+    bh, starts, r, mh_wnd = _plan(mh, ow, iw, c, x.dtype.itemsize)
+    n_blocks = oh // bh
+
+    return pl.pallas_call(
+        functools.partial(_kernel_s2d, bh=bh),
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, bh, r), lambda bi, ki: (ki, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ow // 2, iw), lambda bi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ow // 2, iw), lambda bi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, bh // 2, ow // 2, 4 * c), lambda bi, ki: (bi, ki, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, oh // 2, ow // 2, 4 * c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((r, iw, c), x.dtype),
+            pltpu.VMEM((bh, iw, c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary')),
+        interpret=interpret,
+    )(jnp.asarray(starts), jnp.asarray(mh_wnd),
+      jnp.asarray(np.ascontiguousarray(mw[0::2])),
+      jnp.asarray(np.ascontiguousarray(mw[1::2])), x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _resize_s2d(x, oh, ow, interpret):
+    return _apply2d_s2d(x, oh, ow, interpret)
+
+
+def _resize_s2d_fwd(x, oh, ow, interpret):
+    return _apply2d_s2d(x, oh, ow, interpret), (x.shape[1], x.shape[2])
+
+
+def _resize_s2d_bwd(oh, ow, interpret, res, g):
+    # linear map: cotangent path = depth_to_space (cheap XLA reshape on
+    # the cotangent) then the transposed resize kernel
+    ih, iw = res
+    from renderformer_tpu.ops.s2d_conv import depth_to_space
+    return (_apply2d(depth_to_space(g), ih, iw, True, interpret),)
+
+
+_resize_s2d.defvjp(_resize_s2d_fwd, _resize_s2d_bwd)
+
+
+def fused_resize_s2d(x, out_hw, interpret: bool = False):
+    """[B, H, W, C] → s2d(resize(x, out_hw)) = [B, oh/2, ow/2, 4C].
+
+    Caller must check :func:`fused_resize_s2d_supported` first.
+    """
+    return _resize_s2d(x, int(out_hw[0]), int(out_hw[1]), interpret)
+
+
+def fused_resize_s2d_supported(x, out_hw, interpret: bool = False) -> bool:
+    if not interpret and jax.devices()[0].platform != 'tpu':
+        return False
+    if x.ndim != 4:
+        return False
+    _, ih, iw, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if oh % 2 or ow % 2 or c % 128 != 0 or iw % 8 != 0 or ow % 16 != 0:
+        return False
+    mh, _ = _axis_matrices(ih, iw, oh, ow, False)
+    plan = _plan(mh, ow, iw, c, x.dtype.itemsize)
+    if plan is None or plan[0] % 2:
+        return False
+    # the VJP reuses the plain transposed kernel
+    return _supported_dims(oh, ow, ih, iw, c, x.dtype.itemsize, True)
+
+
 def _supported_dims(ih, iw, oh, ow, c, itemsize, transpose):
     mh, _ = _axis_matrices(ih, iw, oh, ow, transpose)
     return _plan(mh, ow, iw, c, itemsize) is not None

@@ -86,7 +86,7 @@ class RenderFormerDataset:
 
     def batches(self, indices: Sequence[int], batch_size: int,
                 shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True,
+                drop_last: bool = True, pad_last: bool = False,
                 rank: int = 0, world: int = 1,
                 ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield stacked batches.
@@ -97,6 +97,13 @@ class RenderFormerDataset:
         The slice matches the process's addressable shards of a
         data-sharded global array (process-major device order), so it
         feeds ``jax.make_array_from_process_local_data`` directly.
+
+        ``pad_last``: instead of dropping a partial final batch, pad it
+        to ``batch_size`` by cycling its samples and add a ``valid``
+        key ([local_B] float32, 1 = real sample, 0 = padding) to EVERY
+        yielded batch so evaluation covers all samples with one jit
+        signature (the reference validates every sample,
+        train.py:508-584).
         """
         if batch_size % world:
             raise ValueError(
@@ -107,13 +114,23 @@ class RenderFormerDataset:
         if shuffle:
             np.random.default_rng(seed).shuffle(indices)
         step = batch_size
+        if pad_last:
+            drop_last = False
         end = len(indices) - (len(indices) % step if drop_last else 0)
         for start in range(0, max(end, 0), step):
             chunk = indices[start:start + step]
             if len(chunk) < batch_size and drop_last:
                 continue
+            n_real = len(chunk)
+            if pad_last and n_real < batch_size:
+                chunk = [chunk[i % n_real] for i in range(batch_size)]
             local = chunk[rank * per_proc:(rank + 1) * per_proc]
             if not local:
                 continue
             items = [self[i] for i in local]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+            out = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            if pad_last:
+                valid = np.zeros(len(chunk), np.float32)
+                valid[:n_real] = 1.0
+                out['valid'] = valid[rank * per_proc:(rank + 1) * per_proc]
+            yield out

@@ -139,7 +139,21 @@ def make_train_step(model: RenderFormer, tx: optax.GradientTransformation,
         return new_state, metrics
 
     def eval_step(params, batch):
-        loss, _ = loss_fn(params, batch)
-        return {'loss': loss}
+        """Per-sample MSE weighted by the optional ``valid`` mask so a
+        partial final batch padded by the dataset (pad_last) counts each
+        real sample exactly once — the reference validates every sample
+        (train.py:508-584).  Returns the weighted sum and count so the
+        caller can average across batches of different real sizes."""
+        _, imgs = loss_fn(params, batch)
+        sq = jnp.square(imgs - batch['gt'].astype(imgs.dtype))
+        per_sample = jnp.mean(sq.reshape(sq.shape[0], -1), axis=-1)  # [B]
+        valid = batch.get('valid')
+        if valid is None:
+            valid = jnp.ones_like(per_sample)
+        valid = valid.astype(per_sample.dtype)
+        return {'loss_sum': jnp.sum(per_sample * valid),
+                'n': jnp.sum(valid),
+                'loss': (jnp.sum(per_sample * valid)
+                         / jnp.maximum(jnp.sum(valid), 1.0))}
 
     return train_step, eval_step

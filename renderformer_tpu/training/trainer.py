@@ -188,15 +188,22 @@ class RenderFormerTrainer:
         return avg
 
     def validate(self, epoch: int, indices) -> float:
+        # pad_last: a val set smaller than the batch size is padded (and
+        # mask-weighted in eval_step) instead of silently dropped — the
+        # reference validates every sample (train.py:508-584)
         pending = []
         for batch in self.dataset.batches(
                 indices, self.cfg.batch_size, shuffle=False,
-                rank=self.rank, world=self.world):
+                pad_last=True, rank=self.rank, world=self.world):
             pending.append(self._eval_step(
                 self.state.params, self._put_batch(batch)))
-        losses = [float(m['loss']) for m in pending]
-        losses = [x for x in losses if np.isfinite(x)]
-        avg = sum(losses) / len(losses) if losses else float('inf')
+        total, n = 0.0, 0.0
+        for m in pending:
+            s, c = float(m['loss_sum']), float(m['n'])
+            if np.isfinite(s):
+                total += s
+                n += c
+        avg = total / n if n else float('inf')
         self.val_losses.append(avg)
         self.writer.add_scalar('Loss/Val_Epoch', avg, epoch)
         return avg

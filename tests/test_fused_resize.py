@@ -103,3 +103,42 @@ def test_dispatch_fallback_unsupported_channels(monkeypatch):
     want = _gather_ref(x, (32, 32))
     got = resize_bilinear_align_corners(x, (32, 32))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# ---------------------------------------------------------------------------
+# fused resize -> space-to-depth (the composed DPT tail input transform)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('ih,iw,oh,ow,c', [(64, 64, 128, 128, 128),
+                                           (128, 128, 256, 256, 128),
+                                           (16, 32, 32, 64, 128)])
+def test_resize_s2d_forward_exact(ih, iw, oh, ow, c):
+    from renderformer_tpu.ops.fused_resize import (
+        fused_resize_s2d, fused_resize_s2d_supported)
+    from renderformer_tpu.ops.s2d_conv import space_to_depth
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, ih, iw, c)), jnp.float32)
+    assert fused_resize_s2d_supported(x, (oh, ow), interpret=True)
+    want = space_to_depth(_gather_ref(x, (oh, ow)))
+    got = fused_resize_s2d(x, (oh, ow), interpret=True)
+    assert got.shape == (2, oh // 2, ow // 2, 4 * c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-6)
+
+
+def test_resize_s2d_grad():
+    from renderformer_tpu.ops.fused_resize import fused_resize_s2d
+    from renderformer_tpu.ops.s2d_conv import space_to_depth
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 128)), jnp.float32)
+
+    def loss_fused(x):
+        return jnp.sum(fused_resize_s2d(x, (32, 32), interpret=True) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(space_to_depth(_gather_ref(x, (32, 32))) ** 2)
+
+    g_fused = jax.grad(loss_fused)(x)
+    g_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)

@@ -133,6 +133,21 @@ def test_parity_rope_double_max_freq():
     _run_parity({'rope_double_max_freq': True})
 
 
+def test_parity_triangle_learned():
+    """rope_type='triangle_learned': the reference stores freqs as an
+    nn.Parameter either way (rope.py:176 — requires_grad=False even when
+    'learned'), so forward parity must hold with the converted freq
+    values feeding params['rope_freqs']."""
+    _run_parity({'rope_type': 'triangle_learned'})
+
+
+def test_parity_vdir_freqs():
+    """vdir_num_freqs>0: the ray map is NeRF-encoded before patchify
+    (view_transformer.py:38-45) — exercises the non-identity vdir path
+    and the widened patch projection."""
+    _run_parity({'vdir_num_freqs': 2})
+
+
 def test_parity_triangle_mixed_rejected_like_reference():
     """rope_type=triangle_mixed overrides rope_dim with head_dim
     (attention.py:569-573), which makes 9*head_dim/2 angles overflow

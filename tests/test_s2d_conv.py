@@ -42,6 +42,38 @@ def test_block_kernel_sparsity():
     assert kk.size == 9 * 8 * 8
 
 
+def test_dpt_tail_s2d_matches_plain(monkeypatch):
+    """The DPT head with the s2d output tail matches the plain tail
+    (nn/dpt.py _output_tail_s2d; reference dpt.py:243-273 semantics)."""
+    from renderformer_tpu.nn.dpt import DPTHead
+
+    head = DPTHead(in_channels=64, features=32, out_channels=(24, 48, 96, 96))
+    params = head.init(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    ph = pw = 8   # tokens 8x8 -> image 64x64 at patch_size 8
+    feats = [jnp.asarray(rng.normal(size=(2, ph * pw, 64)), jnp.float32)
+             for _ in range(4)]
+
+    monkeypatch.setenv('RFTPU_DPT_TAIL', 'plain')
+    ref = head(params, feats, ph, pw, patch_size=8)
+    monkeypatch.setenv('RFTPU_DPT_TAIL', 's2d')
+    got = head(params, feats, ph, pw, patch_size=8)
+    assert ref.shape == got.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+    # gradients agree through both tails
+    def loss(params, flag):
+        monkeypatch.setenv('RFTPU_DPT_TAIL', flag)
+        return jnp.sum(head(params, feats, ph, pw, patch_size=8) ** 2)
+
+    g0 = jax.grad(loss)(params, 'plain')
+    g1 = jax.grad(loss)(params, 's2d')
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3), g0, g1)
+
+
 def test_conv2d_s2d_grad_matches():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(1, 8, 8, 6)), jnp.float32)

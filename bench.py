@@ -18,7 +18,10 @@ dispatch overhead; real deployments batch many views per program anyway).
 vs_baseline scale: the reference publishes no throughput numbers
 (BASELINE.md); we normalize against a 5.0e5 rays/s estimate for the torch
 reference on a datacenter GPU (~2 512^2 views/s), so vs_baseline=2.0
-corresponds to the BASELINE.json "2x torch-GPU" target.
+corresponds to the BASELINE.json "2x torch-GPU" target.  A MEASURED
+same-host torch-CPU anchor (tools/torch_cpu_anchor.py, committed as
+tools/torch_cpu_anchor.json) is reported alongside in "extra" with its
+provenance, so the only estimated quantity left is the CPU->GPU scale.
 """
 
 import json
@@ -116,6 +119,17 @@ def main():
                 extra[key] = round(bench_config(preset, view_prec), 1)
             except Exception as e:  # record, never lose the headline
                 extra[key] = f'error: {type(e).__name__}: {e}'[:200]
+
+    # measured same-host torch-CPU anchor (VERDICT r2 #10)
+    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'tools', 'torch_cpu_anchor.json')
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        extra['torch_cpu_anchor_rays_per_s'] = anchor['torch_cpu_rays_per_s']
+        extra['torch_cpu_anchor_provenance'] = anchor['provenance']
+        extra['vs_torch_cpu_measured'] = round(
+            headline / anchor['torch_cpu_rays_per_s'], 1)
 
     print(json.dumps({
         'metric': f'rays_per_s_512px_v1base_{platform}_{impl}',

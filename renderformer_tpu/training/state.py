@@ -35,6 +35,10 @@ class TrainConfig:
     #                               under half, bf16 under fp32)
     min_lr_scale: float = 0.0  # cosine floor (eta_min / lr)
     remat: bool = False  # gradient checkpointing (ref train.py:302-305)
+    bf16_shadow_params: bool = False  # keep a compute-dtype param copy
+    # updated in the optimizer epilogue instead of re-casting the fp32
+    # masters inside every forward+backward (the reference's AMP
+    # master-weight pattern, train.py:334,415-448)
     seed: int = 0        # dropout rng seed (folded with the step counter)
     skip_nonfinite: bool = True
     debug_nans: bool = False       # jax_debug_nans (SURVEY.md §5 sanitizers)
@@ -59,6 +63,9 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # compute-dtype shadow of params (bf16_shadow_params); None = off.
+    # Excluded from checkpoints — rebuilt from the masters on resume.
+    shadow: Any = None
 
     @classmethod
     def create(cls, params, tx):
@@ -82,6 +89,34 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+def resolve_dtypes(tc: TrainConfig):
+    """(stage-1 dtype, stage-2 dtype) from the precision config;
+    '' view_precision keeps the reference semantics (fp32 island under
+    half, bf16 under fp32 — rendering_pipeline.py:99)."""
+    dtype = (jnp.bfloat16 if tc.precision in ('bfloat16', 'bf16')
+             else jnp.float32)
+    if tc.view_precision:
+        view_dtype = (jnp.bfloat16
+                      if tc.view_precision in ('bfloat16', 'bf16')
+                      else jnp.float32)
+    else:
+        view_dtype = jnp.float32 if dtype == jnp.bfloat16 else jnp.bfloat16
+    return dtype, view_dtype
+
+
+def make_shadow_tree(params, tc: TrainConfig):
+    """Compute-dtype shadow of the fp32 masters (bf16_shadow_params):
+    the per-stage pre-cast tree the model's internal cast_params treats
+    as a no-op.  Call once at trainer init so the first jit trace sees
+    the same TrainState structure as every later step."""
+    from renderformer_tpu.nn.core import cast_params
+    dtype, view_dtype = resolve_dtypes(tc)
+    vt = cast_params(params['view_transformer'], view_dtype)
+    rest = cast_params(
+        {k: v for k, v in params.items() if k != 'view_transformer'}, dtype)
+    return {**rest, 'view_transformer': vt}
+
+
 def make_train_step(model: RenderFormer, tx: optax.GradientTransformation,
                     tc: TrainConfig, impl: str = 'xla'):
     """Build the (un-jitted) train step: grads of MSE(render, gt).
@@ -91,12 +126,7 @@ def make_train_step(model: RenderFormer, tx: optax.GradientTransformation,
     """
     if tc.remat and not model.remat:
         model = dataclasses.replace(model, remat=True)
-    dtype = jnp.bfloat16 if tc.precision in ('bfloat16', 'bf16') else jnp.float32
-    if tc.view_precision:
-        view_dtype = (jnp.bfloat16 if tc.view_precision in ('bfloat16', 'bf16')
-                      else jnp.float32)
-    else:
-        view_dtype = jnp.float32 if dtype == jnp.bfloat16 else jnp.bfloat16
+    dtype, view_dtype = resolve_dtypes(tc)
 
     # dropout is active only when the architecture asks for it; the rng is
     # derived from the step counter -> deterministic, resume-stable
@@ -112,11 +142,29 @@ def make_train_step(model: RenderFormer, tx: optax.GradientTransformation,
         loss = jnp.mean(jnp.square(imgs - batch['gt'].astype(imgs.dtype)))
         return loss, imgs
 
+    def make_shadow(params):
+        return make_shadow_tree(params, tc)
+
+    use_shadow = tc.bf16_shadow_params and (
+        dtype != jnp.float32 or view_dtype != jnp.float32)
+
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         rng = (jax.random.fold_in(jax.random.key(tc.seed), state.step)
                if use_dropout else None)
-        (loss, _), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, rng)
+        if use_shadow:
+            # differentiate w.r.t. the compute-dtype shadow: the
+            # fwd+bwd never touch the fp32 masters (no in-graph cast or
+            # cast-VJP over 205M params); the optimizer epilogue updates
+            # the masters in fp32 and re-casts the shadow once
+            shadow = (state.shadow if state.shadow is not None
+                      else make_shadow(state.params))
+            (loss, _), grads_s = jax.value_and_grad(
+                loss_fn, has_aux=True)(shadow, batch, rng)
+            grads = jax.tree.map(lambda g, p: g.astype(p.dtype),
+                                 grads_s, state.params)
+        else:
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, rng)
         gnorm = optax.global_norm(grads)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -134,7 +182,9 @@ def make_train_step(model: RenderFormer, tx: optax.GradientTransformation,
                 hasattr(new, 'shape') else new, new_opt, state.opt_state)
 
         new_state = TrainState(params=new_params, opt_state=new_opt,
-                               step=state.step + 1)
+                               step=state.step + 1,
+                               shadow=(make_shadow(new_params)
+                                       if use_shadow else None))
         metrics = {'loss': loss, 'grad_norm': gnorm}
         return new_state, metrics
 

@@ -63,6 +63,13 @@ class RenderFormerTrainer:
 
         self.tx = make_optimizer(tc)
         self.state = TrainState.create(params, self.tx)
+        if tc.bf16_shadow_params and tc.precision != 'float32':
+            # build the compute-dtype shadow up front so every step —
+            # including the first — jit-traces one TrainState structure
+            from renderformer_tpu.training.state import make_shadow_tree
+            import dataclasses as _dc
+            self.state = _dc.replace(
+                self.state, shadow=make_shadow_tree(params, tc))
 
         impl = cfg.attn_impl
         if impl == 'auto':
@@ -104,6 +111,14 @@ class RenderFormerTrainer:
 
         if cfg.resume_from:
             self.state, meta = load_checkpoint(cfg.resume_from, self.state)
+            if tc.bf16_shadow_params and tc.precision != 'float32':
+                # the shadow is not checkpointed; rebuild from the
+                # restored masters
+                from renderformer_tpu.training.state import make_shadow_tree
+                import dataclasses as _dc
+                self.state = _dc.replace(
+                    self.state,
+                    shadow=make_shadow_tree(self.state.params, tc))
             self.state = jax.device_put(self.state, self._repl)
             extra = meta.get('extra', {})
             self.start_epoch = int(extra.get('epoch', -1)) + 1

@@ -1,0 +1,92 @@
+"""bf16 shadow weights (TrainConfig.bf16_shadow_params): identical
+losses/updates to the per-step in-graph cast, with the fwd+bwd running
+on a pre-cast compute-dtype tree (reference AMP master-weight pattern,
+train.py:334,415-448; VERDICT r2 next #8)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_distributed import _make_dataset
+
+
+def _setup(tmp_path, **tc_kw):
+    from renderformer_tpu.config import RenderFormerConfig
+    from renderformer_tpu.models.renderformer import RenderFormer
+    from renderformer_tpu.training.dataset import RenderFormerDataset
+    from renderformer_tpu.training.state import (
+        TrainConfig, TrainState, make_optimizer, make_train_step)
+
+    cfg = RenderFormerConfig(
+        latent_dim=72, num_layers=2, num_heads=2, dim_feedforward=144,
+        num_register_tokens=4, vertex_pe_num_freqs=4,
+        view_transformer_latent_dim=72, view_transformer_ffn_hidden_dim=144,
+        view_transformer_n_heads=2, view_transformer_n_layers=4,
+        dpt_features=16, dpt_out_channels=[8, 16, 32, 64])
+    model = RenderFormer(cfg)
+    params = model.init(jax.random.key(0))
+
+    data_dir = str(tmp_path / 'data')
+    _make_dataset(data_dir, n_scenes=2)
+    ds = RenderFormerDataset(h5_dir=data_dir, gt_dir=data_dir,
+                             max_resolution=32)
+    (batch,) = ds.batches(range(2), 2, shuffle=False)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    tc = TrainConfig(num_epochs=1, steps_per_epoch=4, resolution=32,
+                     learning_rate=1e-4, precision='bfloat16', **tc_kw)
+    tx = make_optimizer(tc)
+    step, _ = make_train_step(model, tx, tc, impl='xla')
+    return model, params, tx, tc, jax.jit(step), batch
+
+
+def _run(step, state, batch, n=3):
+    losses = []
+    for _ in range(n):
+        state, m = step(state, batch)
+        losses.append(float(m['loss']))
+    return state, losses
+
+
+def test_shadow_matches_in_graph_cast(tmp_path):
+    from renderformer_tpu.training.state import TrainState, make_shadow_tree
+
+    model, params, tx, tc_ref, step_ref, batch = _setup(tmp_path)
+    _, _, _, tc_sh, step_sh, _ = _setup(tmp_path, bf16_shadow_params=True)
+
+    s_ref = TrainState.create(params, tx)
+    s_sh = TrainState.create(params, tx)
+    s_sh = dataclasses.replace(s_sh, shadow=make_shadow_tree(params, tc_sh))
+
+    s_ref, losses_ref = _run(step_ref, s_ref, batch)
+    s_sh, losses_sh = _run(step_sh, s_sh, batch)
+
+    # the shadow IS the in-graph cast result, so losses match exactly up
+    # to compiler scheduling
+    np.testing.assert_allclose(losses_sh, losses_ref, rtol=1e-5, atol=1e-7)
+    # master weights stay in lockstep
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-6),
+        s_sh.params, s_ref.params)
+    # the shadow equals the fresh cast of the updated masters
+    fresh = make_shadow_tree(s_sh.params, tc_sh)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), s_sh.shadow, fresh)
+
+
+def test_shadow_none_first_step_still_works(tmp_path):
+    """A state without a prebuilt shadow falls back to an in-step cast
+    (same math, one extra trace)."""
+    from renderformer_tpu.training.state import TrainState
+
+    _, params, tx, _, step_sh, batch = _setup(tmp_path,
+                                              bf16_shadow_params=True)
+    state = TrainState.create(params, tx)
+    state, losses = _run(step_sh, state, batch, n=2)
+    assert all(np.isfinite(losses))
+    assert state.shadow is not None

@@ -63,11 +63,13 @@ def test_overfit_recovers_perturbed_weights(tmp_path):
             os.path.join(data_dir, f'scene_{i:03d}.png'),
             (np.clip(img, 0, 1) * 255).astype(np.uint8))
 
-    # student: teacher + relative perturbation
+    # student: teacher + relative perturbation (hyperparameters from a
+    # measured sweep: sigma=0.1 / lr=3e-5 reaches ~2-9% of the initial
+    # loss within 12-24 steps on this workload)
     noise_rng = np.random.default_rng(7)
 
     def perturb(p):
-        scale = 0.03 * float(np.std(np.asarray(p)) + 1e-3)
+        scale = 0.1 * float(np.std(np.asarray(p)) + 1e-3)
         return p + jnp.asarray(
             noise_rng.normal(size=p.shape) * scale, p.dtype)
 
@@ -76,25 +78,25 @@ def test_overfit_recovers_perturbed_weights(tmp_path):
     dataset = RenderFormerDataset(h5_dir=data_dir, gt_dir=data_dir,
                                   max_resolution=res)
     cfg = TrainerConfig(
-        train=TrainConfig(num_epochs=6, precision='float32', resolution=res,
-                          learning_rate=2e-4, warmup_steps=0),
-        batch_size=4,
+        train=TrainConfig(num_epochs=10, precision='float32', resolution=res,
+                          learning_rate=3e-5, warmup_steps=0),
+        batch_size=2,           # 2 steps/epoch x 10 epochs = 20 steps
         train_val_split=1.0,
         checkpoint_dir=str(tmp_path / 'ckpt'),
         log_dir=str(tmp_path / 'tb'),
         save_interval=1000,
-        mesh_shape=(4, 2),
+        mesh_shape=(2, 4),
         attn_impl='xla')
     trainer = RenderFormerTrainer(model, w_student, dataset, cfg)
     result = trainer.fit()
 
     losses = result['train_losses']
-    assert len(losses) == 6
+    assert len(losses) == 10
     assert all(np.isfinite(losses)), losses
     # the loss must genuinely decrease — a sign bug or dead LR fails this
-    assert losses[-1] < 0.35 * losses[0], losses
-    # monotone-ish: no epoch may blow up above the starting loss
-    assert max(losses[1:]) < losses[0] * 1.05, losses
+    assert losses[-1] < 0.25 * losses[0], losses
+    # monotone-ish: after the Adam warm-up epoch, never above the start
+    assert max(losses[2:]) < losses[0], losses
     # the loss-curve artifact is written (reference ships
     # training_losses.png in-repo, train.py:626-641)
     assert os.path.exists(os.path.join(str(tmp_path / 'tb'),

@@ -48,6 +48,20 @@ def bench_config(preset_name, view_precision, res=512, n_tris=2048,
 
     model = RenderFormer(PRESETS[preset_name])
     params = jax.device_put(model.init(jax.random.key(0)))
+    # Pre-cast the weights to the compute dtypes ONCE, exactly like the
+    # product path (RenderingPipeline.render's _cast_params cache).
+    # Feeding fp32 masters into the jit left the down-projection weights
+    # streaming as f32 with the convert fused into the consumer — those
+    # matmul fusions measured 47% MXU vs 95% for pre-cast bf16 weights
+    # (device profile, v5e): the harness was benching a path no user runs.
+    from renderformer_tpu.nn.core import cast_params
+    view_dtype = jnp.float32 if view_precision == 'fp32' else jnp.bfloat16
+    params = {
+        **cast_params({k: v for k, v in params.items()
+                       if k != 'view_transformer'}, jnp.bfloat16),
+        'view_transformer': cast_params(params['view_transformer'],
+                                        view_dtype),
+    }
 
     rng = np.random.default_rng(0)
     args = (
@@ -60,7 +74,6 @@ def bench_config(preset_name, view_precision, res=512, n_tris=2048,
         jnp.full((bs, n_views, 1), 40.0, jnp.float32),
     )
 
-    view_dtype = jnp.float32 if view_precision == 'fp32' else jnp.bfloat16
     base = partial(render_fn, model=model, resolution=res,
                    dtype=jnp.bfloat16, view_dtype=view_dtype, impl=impl)
     # Reduce the image to a scalar on-device: through the axon tunnel,

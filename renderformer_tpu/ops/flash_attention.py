@@ -64,14 +64,27 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_q_split() -> int:
+def _fwd_q_split(bq: int, bk: int, sk: int) -> int:
     """Independent q sub-chains per forward block in the single-K-block
     path (see _fwd_body). Read ONCE per call in the public wrappers and
     threaded through as a static argument so it participates in the jit
     cache key — in-process sweeps that flip the env var retrace instead
-    of silently reusing the previously compiled kernel."""
+    of silently reusing the previously compiled kernel.
+
+    Default 4 on the single-K-block path: the straight-line
+    S -> softmax -> PV chain serializes MXU and VPU; four independent
+    sub-chains let Mosaic overlap one chain's softmax with another's
+    matmuls. Measured on v5e (tools/cross_micro.py, post cache-key fix):
+    ray-self 4096^2 B8 2.94 -> 2.21 ms (71% -> 95% of the matmul ideal,
+    with bq=1024), cross 4096x2064 masked 1.95 -> 1.68 ms. The earlier
+    'flat' split sweep was invalidated by the ADVICE round-2 #1 stale
+    jit-cache bug."""
     import os
-    return int(os.environ.get('RFTPU_FWD_SPLIT', '1'))
+    env = os.environ.get('RFTPU_FWD_SPLIT')
+    if env is not None:
+        return int(env)
+    single_block = _round_up(sk, 128) <= bk
+    return 4 if (single_block and bq % 4 == 0 and bq // 4 >= 8) else 1
 
 
 def _pick_bk(sk: int, bk: Optional[int]) -> int:
@@ -719,10 +732,18 @@ def _flash_nomask_vjp_bwd(bq, bk, interpret, split, res, g):
 _flash_nomask.defvjp(_flash_nomask_vjp_fwd, _flash_nomask_vjp_bwd)
 
 
-def _default_bq() -> int:
-    """Forward q-block rows (v5e-tuned; RFTPU_FLASH_BQ sweeps it)."""
+def _default_bq(sq: int, sk: int) -> int:
+    """Forward q-block rows (v5e-tuned; RFTPU_FLASH_BQ sweeps it).
+
+    Large-square self-attention (ray tokens, 4096^2) measures fastest at
+    1024-row blocks combined with split=4 (95% of the matmul ideal vs
+    71% at the old 512/1 default — tools/cross_micro.py); everything
+    else keeps 512 (at cross shapes Sk~2k, 1024-row blocks REGRESS)."""
     import os
-    return int(os.environ.get('RFTPU_FLASH_BQ', '512'))
+    env = os.environ.get('RFTPU_FLASH_BQ')
+    if env is not None:
+        return int(env)
+    return 1024 if (sq >= 4096 and sk >= 4096) else 512
 
 
 def flash_attention(q, k, v, mask=None,
@@ -740,11 +761,13 @@ def flash_attention(q, k, v, mask=None,
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
     sq, sk = q.shape[1], k.shape[1]
-    bq = min(bq if bq is not None else _default_bq(), _round_up(sq, 128))
+    bq = min(bq if bq is not None else _default_bq(sq, sk),
+             _round_up(sq, 128))
     bk = _pick_bk(sk, bk)
+    split = _fwd_q_split(bq, bk, sk)
     if mask is None:
-        return _flash_nomask(q, k, v, bq, bk, interpret, _fwd_q_split())
-    return _flash(q, k, v, mask, bq, bk, interpret, _fwd_q_split())
+        return _flash_nomask(q, k, v, bq, bk, interpret, split)
+    return _flash(q, k, v, mask, bq, bk, interpret, split)
 
 
 # ---------------------------------------------------------------------------
@@ -1001,8 +1024,10 @@ def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     if interpret is None:
         interpret = jax.devices()[0].platform != 'tpu'
     sq, sk = q.shape[1], k.shape[1]
-    bq = min(bq if bq is not None else _default_bq(), _round_up(sq, 128))
+    bq = min(bq if bq is not None else _default_bq(sq, sk),
+             _round_up(sq, 128))
     bk = _pick_bk(sk, bk)
+    split = _fwd_q_split(bq, bk, sk)
     # stop-gradient on the tables: positions are no-grad in the reference
     cosq = jax.lax.stop_gradient(cosq.astype(jnp.float32))
     sinq = jax.lax.stop_gradient(sinq.astype(jnp.float32))
@@ -1010,6 +1035,6 @@ def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     sink = jax.lax.stop_gradient(sink.astype(jnp.float32))
     if mask is None:
         return _flash_rope_nomask(q, k, v, cosq, sinq, cosk, sink,
-                                  bq, bk, interpret, _fwd_q_split())
+                                  bq, bk, interpret, split)
     return _flash_rope(q, k, v, mask, cosq, sinq, cosk, sink,
-                       bq, bk, interpret, _fwd_q_split())
+                       bq, bk, interpret, split)

@@ -17,6 +17,9 @@ import numpy as np
 from renderformer_tpu.io.h5 import list_scene_files, load_scene_h5
 
 
+_UPSCALE_WARNED = set()
+
+
 def _load_gt(path: str, resolution: int) -> np.ndarray:
     import imageio
     img = imageio.v3.imread(path)
@@ -25,8 +28,27 @@ def _load_gt(path: str, resolution: int) -> np.ndarray:
         img = np.repeat(img[..., None], 3, axis=-1)
     img = img[..., :3]
     if img.shape[0] != resolution or img.shape[1] != resolution:
+        # The reference only ever DOWNSIZES GT (train.py:242-244 guards
+        # with `>`; a smaller GT would crash its stack). Static shapes
+        # force us to resize either way: INTER_AREA for the reference's
+        # downsize case, and a loud (once per source size) warning +
+        # INTER_LINEAR when the GT is smaller than the render target —
+        # upscaled GT blurs the loss target and usually means the
+        # dataset was generated at the wrong resolution.
         import cv2
-        img = cv2.resize(img, (resolution, resolution))
+        if img.shape[0] >= resolution and img.shape[1] >= resolution:
+            img = cv2.resize(img, (resolution, resolution),
+                             interpolation=cv2.INTER_AREA)
+        else:
+            key = (img.shape[0], img.shape[1], resolution)
+            if key not in _UPSCALE_WARNED:
+                _UPSCALE_WARNED.add(key)
+                print(f'WARNING: GT {path} is {img.shape[1]}x{img.shape[0]} '
+                      f'< target {resolution}^2 — upscaling a ground-truth '
+                      f'image blurs the loss target; re-render GT at '
+                      f'>= the training resolution')
+            img = cv2.resize(img, (resolution, resolution),
+                             interpolation=cv2.INTER_LINEAR)
     return img.astype(np.float32)
 
 

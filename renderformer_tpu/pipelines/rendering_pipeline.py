@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from renderformer_tpu.config import PRESETS, RenderFormerConfig, RuntimeConfig
 from renderformer_tpu.models.renderformer import RenderFormer
 from renderformer_tpu.utils.hdr import hdr_decode_image, hdr_encode_texture
-from renderformer_tpu.utils.rays import generate_rays
+from renderformer_tpu.utils.rays import generate_rays, generate_rays_patched
 from renderformer_tpu.utils.transform import trans_to_cam_coord
 
 _DTYPES = {
@@ -58,8 +58,20 @@ def render_fn(params, triangles, texture, mask, vn, c2w, fov, *,
             triangles[:, None], (bs, nv) + triangles.shape[1:])
         c2w_view = c2w
 
-    rays_o, rays_d = generate_rays(
-        c2w_view, fov / 180.0 * jnp.pi, resolution)
+    import os
+    if cfg.vdir_num_freqs == 0 and (
+            resolution % cfg.patch_size == 0 and
+            os.environ.get('RFTPU_PATCHED_RAYS', '1') != '0'):
+        # generate rays directly in the view transformer's patch layout:
+        # kills the [B,H,W,3] -> [B,T,(c p1 p2)] reorg (~1.06 ms/step at
+        # 512^2 x8 — its minor dim of 3 wastes 125/128 lanes per tile).
+        # Identity-vdir only; the NeRF-encoded path keeps the 2-D map.
+        # (env read at trace time, like the other RFTPU_* fusion toggles)
+        rays_o, rays_d = generate_rays_patched(
+            c2w_view, fov / 180.0 * jnp.pi, resolution, cfg.patch_size)
+    else:
+        rays_o, rays_d = generate_rays(
+            c2w_view, fov / 180.0 * jnp.pi, resolution)
 
     imgs = model(
         params,

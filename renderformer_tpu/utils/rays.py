@@ -54,3 +54,54 @@ def generate_rays(
     rays_d = jnp.einsum('...ij,...hwj->...hwi', R, dirs)
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     return t, rays_d
+
+
+def generate_rays_patched(
+    c2w: jnp.ndarray, fov: jnp.ndarray, img_res: int, patch_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rays generated DIRECTLY in the view transformer's patch-flattened
+    layout: [*B, (res/p)^2, 3*p*p], column (c*p*p + p1*p + p2) holding
+    direction component c of patch pixel (p1, p2) — the '(c p1 p2)' row
+    order of the ray_map_encoder kernel.
+
+    Same math as :func:`generate_rays`; only the element ORDER differs,
+    and it is baked into the (static) pixel-coordinate tables, so no
+    transpose of ray data ever exists in the graph. The [B,H,W,3]->
+    [B,T,(c p1 p2)] reorg this replaces has c=3 as its minor dim — (8,128)
+    tiling leaves 125/128 lanes dead and the fused normalize+patchify
+    copy measured ~1.06 ms/step at 512^2 x8 on v5e, 23x its HBM bound.
+    """
+    c2w = c2w.astype(jnp.float32)
+    fov = fov.astype(jnp.float32)
+    p = patch_size
+    hp = img_res // p
+    n_tok, n_lane = hp * hp, p * p
+
+    # static pixel-coordinate tables in (token, lane) layout
+    tok = np.arange(n_tok)
+    lane = np.arange(n_lane)
+    pix_y = ((tok // hp)[:, None] * p + lane[None, :] // p + 0.5
+             ).astype(np.float32)  # [T, L]
+    pix_x = ((tok % hp)[:, None] * p + lane[None, :] % p + 0.5
+             ).astype(np.float32)
+    pix_x = jnp.asarray(pix_x)
+    pix_y = jnp.asarray(pix_y)
+
+    cx = cy = img_res / 2.0
+    f = img_res / 2.0 / jnp.tan(0.5 * fov[..., 0, None, None])  # [*B, 1, 1]
+
+    xd = (pix_x - cx) / f          # [*B, T, L]
+    yd = -(pix_y - cy) / f
+    R = c2w[..., :3, :3]
+    t = c2w[..., :3, 3]
+
+    def world(i):
+        return (R[..., i, 0, None, None] * xd
+                + R[..., i, 1, None, None] * yd
+                - R[..., i, 2, None, None])
+
+    wx, wy, wz = world(0), world(1), world(2)
+    # divide by sqrt (not rsqrt-multiply): bitwise-matches generate_rays
+    nrm = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    rays_d = jnp.concatenate([wx / nrm, wy / nrm, wz / nrm], axis=-1)
+    return t, rays_d

@@ -32,6 +32,7 @@ from renderformer_tpu.nn.core import (
     dropout,
     gelu,
     norm_init,
+    residual_barrier,
     silu,
 )
 from renderformer_tpu.encodings.rope import (
@@ -597,7 +598,8 @@ class AttentionLayer:
         attn_out = self.mha(
             params['multihead_attn'], q, kv, kv, mask,
             rope_cos, rope_sin, rope_ctx_cos, rope_ctx_sin, impl=impl)
-        query = query + dropout(attn_out, self.dropout, keys[0])
+        query = residual_barrier(
+            query + dropout(attn_out, self.dropout, keys[0]))
 
         if self.add_self_attn:
             q = apply_norm(self.norm_type, params['self_attn_norm'], query, ATTN_EPS)
@@ -611,11 +613,13 @@ class AttentionLayer:
                 sa = self.self_attn_module(
                     params['self_attn'], q, q, q, None, rope_cos, rope_sin,
                     impl=impl)
-            query = query + dropout(sa, self.dropout, keys[1])
+            query = residual_barrier(
+                query + dropout(sa, self.dropout, keys[1]))
 
         q = apply_norm(self.norm_type, params['ffn_norm'], query, ATTN_EPS)
         ffn_out = self.ffn(params['ffn'], q, dropout_rng=keys[2])
-        query = query + dropout(ffn_out, self.dropout, keys[3])
+        query = residual_barrier(
+            query + dropout(ffn_out, self.dropout, keys[3]))
         return query
 
 

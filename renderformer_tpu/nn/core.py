@@ -176,6 +176,24 @@ def elu(x, alpha: float = 1.0):
     return jnp.where(x > 0, x, alpha * (jnp.exp(safe) - 1.0))
 
 
+def residual_barrier(x):
+    """Opt-in `optimization_barrier` on the residual stream after each
+    join (``RFTPU_RESIDUAL_BARRIER=1``, read at trace time).
+
+    Measured and REJECTED (round 3, v5e, v1-base 512^2 x8): the HEAD
+    profile shows the FFN down-projections as `multiply_reduce_fusion`
+    ops at 94 TF/s (the next norm's sum-of-squares reduction fused into
+    the matmul's output fusion) vs 190 TF/s for the up-projection, and
+    the hypothesis was that closing the fusion at the residual join
+    frees the matmul. In-model A/B: 24.91/24.83 M rays/s without vs
+    24.52/24.55 with the barrier — the one-pass fused epilogue beats
+    matmul-then-re-read. Kept as an env toggle for future shapes."""
+    import os
+    if os.environ.get('RFTPU_RESIDUAL_BARRIER', '0') == '1':
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 

@@ -39,6 +39,22 @@ def main():
                         help='Shard inference over all visible devices '
                              '(GSPMD data x seq mesh)')
     parser.add_argument('--cpu', action='store_true')
+    parser.add_argument('--video_mode', choices=['auto', 'on', 'off'],
+                        default='auto',
+                        help='Static-scene fast path: upload the scene '
+                             'once, stream only cameras per frame, render '
+                             'frames as views of the device-resident scene. '
+                             'auto = probe whether frames 0/1 share scene '
+                             'tensors bitwise')
+    parser.add_argument('--transfer_dtype',
+                        choices=['float32', 'float16'], default='float16',
+                        help='Device->host image dtype: float16 halves '
+                             'transfer bytes at EXR-half precision')
+    parser.add_argument('--no_output', action='store_true',
+                        help='Benchmark mode: skip image fetch + file '
+                             'writes, sync each batch with a 1-element '
+                             'on-device checksum (measures the device '
+                             'render path without host-transfer cost)')
     args = parser.parse_args()
 
     if args.cpu:
@@ -62,15 +78,37 @@ def main():
         tone_mapper = ToneMapper(args.tone_mapper)
         print(f'Using {args.tone_mapper} tone mapper')
 
-    dataset = SceneFolderDataset(args.h5_folder, args.padding_length)
-    print(f'Found {len(dataset)} h5 files in {args.h5_folder}')
-    if len(dataset) == 0:
+    from renderformer_tpu.io.h5 import (
+        VideoSceneDataset, list_scene_files, probe_static_scene)
+
+    files = list_scene_files(args.h5_folder)
+    print(f'Found {len(files)} h5 files in {args.h5_folder}')
+    if len(files) == 0:
         return 1
-    if args.batch_size > 1 and args.padding_length is None:
-        print('NOTICE: batch_size > 1 requires --padding_length '
-              '(static shapes across frames); falling back to batch_size=1 '
-              '— pass --padding_length to batch frames together')
-        args.batch_size = 1
+
+    # Static-scene video fast path: upload the scene once, stream only
+    # cameras (~100 B/frame instead of ~10^2 MB/frame), render frames as
+    # views of the device-resident scene. The reference re-uploads the
+    # full scene per frame (/root/reference/batch_infer.py:85-101) —
+    # free over PCIe, fatal over a bandwidth-limited device tunnel.
+    use_video = False
+    if args.video_mode != 'off' and not args.shard:
+        if args.video_mode == 'on' or probe_static_scene(files):
+            use_video = True
+    if args.video_mode == 'auto' and use_video and len(files) > 1:
+        print('video mode: static scene detected (frames 0/1 share scene '
+              'tensors bitwise); uploading scene once, streaming cameras. '
+              'Pass --video_mode off to disable.')
+
+    dataset = None
+    if not use_video:
+        dataset = SceneFolderDataset(args.h5_folder, args.padding_length)
+        if args.batch_size > 1 and args.padding_length is None:
+            print('NOTICE: batch_size > 1 requires --padding_length '
+                  '(static shapes across frames); falling back to '
+                  'batch_size=1 — pass --padding_length to batch frames '
+                  'together')
+            args.batch_size = 1
 
     output_dir = args.output_dir or args.h5_folder
     os.makedirs(output_dir, exist_ok=True)
@@ -79,7 +117,7 @@ def main():
 
     from renderformer_tpu.utils.profiling import ThroughputMeter
     meter = None
-    writer = AsyncWriter(max_workers=2)
+    writer = AsyncWriter(max_workers=max(2, os.cpu_count() or 2))
     frame_counter = 0
 
     def postprocess(hdr, exr_path, png_path, frame_idx):
@@ -115,38 +153,105 @@ def main():
     # + EXR/PNG writes drain (jax dispatch is async — `render` returns a
     # future-like device array; `np.asarray` in flush() is the sync point,
     # so keeping one render in flight hides the device->host fetch).
+    # Pipelined timing semantics (both paths): window i measures
+    # dispatch(i) + host-sync of batch i-1, so per-window time == one
+    # batch through the pipeline ONLY in steady state.  The first window
+    # is dispatch-only (near zero — summary(warmup=1) drops it) and the
+    # last batch's sync lands outside any window; reported rays/s is
+    # therefore the steady-state pipelined figure and needs >=3
+    # batches to be meaningful (ADVICE r2).
+    out_dtype = args.transfer_dtype
     inflight = []
-    for batch in prefetch(dataset.batches(args.batch_size), depth=2):
-        if meter is None:
-            meter = ThroughputMeter(
+    prev = None
+
+    def sync_or_flush(rendered_dev, payload, flush_fn):
+        """Keep one render in flight; in --no_output mode sync without
+        fetching (device-throughput measurement).
+
+        The sync is a 1-element fetch, not block_until_ready: over the
+        axon device tunnel block_until_ready returns at dispatch-ack,
+        before device execution completes — only a data fetch is a true
+        completion barrier."""
+        nonlocal prev
+        if args.no_output:
+            if prev is not None:
+                np.asarray(prev[0, 0, 0, 0])
+            prev = rendered_dev
+        else:
+            inflight.append((rendered_dev, payload))
+            if len(inflight) > 1:
+                flush_fn(*inflight.pop(0))
+
+    if use_video:
+        import jax
+        ds = VideoSceneDataset(args.h5_folder)
+        scene = ds.scene
+        dev_scene = {k: jax.device_put(np.asarray(scene[k])[None])
+                     for k in ('triangles', 'texture', 'mask', 'vn')}
+
+        def flush_video(rendered_dev, chunk):
+            nonlocal frame_counter
+            rendered = np.asarray(rendered_dev)  # [1, V, H, W, 3]
+            for i, (fp, view_idx) in enumerate(chunk['entries']):
+                base = os.path.splitext(os.path.basename(fp))[0]
+                writer.submit(
+                    postprocess,
+                    rendered[0, i].astype(np.float32),
+                    os.path.join(output_dir, f'{base}_view_{view_idx}.exr'),
+                    os.path.join(output_dir, f'{base}_view_{view_idx}.png'),
+                    frame_counter if args.save_video else None)
+                frame_counter += 1
+                print(f'Rendered {base}')
+
+        for chunk in prefetch(ds.view_chunks(args.batch_size), depth=2):
+            if meter is None:
+                meter = ThroughputMeter(
+                    resolution=args.resolution,
+                    views_per_step=chunk['c2w'].shape[1],
+                    batch_size=1,
+                    triangle_tokens=scene['triangles'].shape[0])
+            meter.start()
+            rendered_dev = pipeline.render(
+                triangles=dev_scene['triangles'],
+                texture=dev_scene['texture'],
+                mask=dev_scene['mask'],
+                vn=dev_scene['vn'],
+                c2w=chunk['c2w'],
+                fov=chunk['fov'][..., None],
                 resolution=args.resolution,
-                views_per_step=batch['c2w'].shape[1],
-                batch_size=batch['c2w'].shape[0],
-                triangle_tokens=batch['triangles'].shape[1])
-        meter.start()
-        rendered_dev = pipeline.render(
-            triangles=batch['triangles'],
-            texture=batch['texture'],
-            mask=batch['mask'],
-            vn=batch['vn'],
-            c2w=batch['c2w'],
-            fov=batch['fov'][..., None],
-            resolution=args.resolution,
-            precision=args.precision,
-        )
-        inflight.append((rendered_dev, batch))
-        if len(inflight) > 1:
-            flush(*inflight.pop(0))
-        # Pipelined timing semantics: window i measures dispatch(i) +
-        # host-sync of batch i-1, so per-window time == one batch through
-        # the pipeline ONLY in steady state.  The first window is
-        # dispatch-only (near zero — summary(warmup=1) drops it) and the
-        # last batch's sync lands outside any window; reported rays/s is
-        # therefore the steady-state pipelined figure and needs >=3
-        # batches to be meaningful (ADVICE r2).
-        meter.stop()
-    for item in inflight:
-        flush(*item)
+                precision=args.precision,
+                output_dtype=out_dtype,
+            )
+            sync_or_flush(rendered_dev, chunk, flush_video)
+            meter.stop()
+        for item in inflight:
+            flush_video(*item)
+    else:
+        for batch in prefetch(dataset.batches(args.batch_size), depth=2):
+            if meter is None:
+                meter = ThroughputMeter(
+                    resolution=args.resolution,
+                    views_per_step=batch['c2w'].shape[1],
+                    batch_size=batch['c2w'].shape[0],
+                    triangle_tokens=batch['triangles'].shape[1])
+            meter.start()
+            rendered_dev = pipeline.render(
+                triangles=batch['triangles'],
+                texture=batch['texture'],
+                mask=batch['mask'],
+                vn=batch['vn'],
+                c2w=batch['c2w'],
+                fov=batch['fov'][..., None],
+                resolution=args.resolution,
+                precision=args.precision,
+                output_dtype=out_dtype,
+            )
+            sync_or_flush(rendered_dev, batch, flush)
+            meter.stop()
+        for item in inflight:
+            flush(*item)
+    if args.no_output and prev is not None:
+        np.asarray(prev[0, 0, 0, 0])
 
     writer.close()
     video_frames = [video_slots[k] for k in sorted(video_slots)]
@@ -156,11 +261,13 @@ def main():
         if summary:
             qualifier = ('' if len(meter._times) >= 3 else
                          ', <3 batches: not steady-state')
-            print('throughput: %.0f rays/s, %.0f ray-tokens/s '
-                  '(steady-state pipelined; mean %.3fs/batch, first batch '
-                  'excluded%s)' % (
-                      summary['rays_per_s'], summary['ray_tokens_per_s'],
-                      summary['mean_step_s'], qualifier))
+            print('throughput: %.0f rays/s median / %.0f rays/s mean '
+                  '(steady-state pipelined; median %.3fs mean %.3fs per '
+                  'batch, first batch excluded; median is robust to the '
+                  'one-time weight/scene-upload window%s)' % (
+                      summary['rays_per_s_median'], summary['rays_per_s'],
+                      summary['median_step_s'], summary['mean_step_s'],
+                      qualifier))
     if args.save_video and video_frames:
         video_path = os.path.join(output_dir, 'video.mp4')
         write_video(video_path, video_frames, fps=args.fps)

@@ -63,6 +63,103 @@ def save_scene_h5(path: str, triangles, vn, texture, c2w, fov) -> None:
                          compression='gzip', compression_opts=9)
 
 
+def load_cameras_h5(file_path: str):
+    """Load only the per-frame camera datasets (c2w [V,4,4], fov [V]).
+
+    The static-scene video path (VideoSceneDataset) reads cameras per
+    frame but the heavy scene tensors (~10^2 MB of gzip'd texture
+    patches) only once — the per-frame H5s of a camera-orbit video
+    duplicate them byte-for-byte."""
+    with h5py.File(file_path, 'r') as f:
+        return (np.asarray(f['c2w'], dtype=np.float32),
+                np.asarray(f['fov'], dtype=np.float32))
+
+
+def _geometry_digest(file_path: str) -> str:
+    """Cheap per-frame guard for the static-scene assumption: hash of the
+    raw ``triangles`` + ``vn`` datasets (~300 KB at 4k tris) — read and
+    hashed without touching the large texture dataset."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    with h5py.File(file_path, 'r') as f:
+        for k in ('triangles', 'vn'):
+            arr = np.ascontiguousarray(np.asarray(f[k]))
+            h.update(str(arr.shape).encode())
+            h.update(arr.tobytes())
+    return h.hexdigest()
+
+
+def probe_static_scene(files: List[str]) -> bool:
+    """True if the folder looks like a camera-only animation: the first
+    two frames' scene tensors (triangles, vn, texture) are bitwise
+    equal. Single-file folders count as static."""
+    if len(files) < 2:
+        return True
+    with h5py.File(files[0], 'r') as a, h5py.File(files[1], 'r') as b:
+        for k in ('triangles', 'vn', 'texture'):
+            da, db = np.asarray(a[k]), np.asarray(b[k])
+            if da.shape != db.shape or not np.array_equal(da, db):
+                return False
+    return True
+
+
+class VideoSceneDataset:
+    """Camera-animated video folder: ONE scene, per-frame cameras.
+
+    The reference's video workload (render-videos.sh + per-frame H5
+    folders, /root/reference/batch_infer.py:61-178) re-reads and
+    re-uploads the full scene for every frame — free over PCIe,
+    prohibitive over a bandwidth-limited device tunnel. This dataset
+    loads the scene tensors from the first frame only, then streams
+    per-frame cameras, so the caller can keep the scene device-resident
+    and ship ~100 B/frame instead of ~10^2 MB/frame.
+
+    Safety: every frame's geometry (triangles+vn) digest is checked
+    against frame 0; a mismatch raises (the folder was not actually a
+    static scene — fall back to SceneFolderDataset). Texture is assumed
+    static once frames 0/1 match bitwise (probe_static_scene).
+    """
+
+    def __init__(self, folder: str, verify_geometry: bool = True):
+        self.files = list_scene_files(folder)
+        if not self.files:
+            raise FileNotFoundError(f'no .h5 scenes in {folder}')
+        self.scene = load_scene_h5(self.files[0])
+        self._digest0 = _geometry_digest(self.files[0]) if verify_geometry else None
+        self.verify_geometry = verify_geometry
+
+    def __len__(self):
+        return len(self.files)
+
+    def view_chunks(self, views_per_call: int):
+        """Yield {'c2w' [1,V,4,4], 'fov' [1,V], 'entries' [(path, view_idx)],
+        'n_valid'} — the final chunk is padded by repeating its last view
+        (no recompile for the remainder; caller drops padded outputs)."""
+        entries, c2ws, fovs = [], [], []
+        for fp in self.files:
+            if self.verify_geometry and fp != self.files[0]:
+                if _geometry_digest(fp) != self._digest0:
+                    raise ValueError(
+                        f'{fp}: geometry differs from frame 0 — folder is '
+                        'not a static scene; use SceneFolderDataset')
+            c2w, fov = load_cameras_h5(fp)
+            for v in range(c2w.shape[0]):
+                entries.append((fp, v))
+                c2ws.append(c2w[v])
+                fovs.append(fov[v])
+        for start in range(0, len(entries), views_per_call):
+            chunk = entries[start:start + views_per_call]
+            n_valid = len(chunk)
+            idx = list(range(start, start + n_valid))
+            idx += [idx[-1]] * (views_per_call - n_valid)
+            yield {
+                'c2w': np.stack([c2ws[i] for i in idx])[None],
+                'fov': np.stack([fovs[i] for i in idx])[None],
+                'entries': chunk,
+                'n_valid': n_valid,
+            }
+
+
 def _natural_key(s: str):
     return [int(t) if t.isdigit() else t.lower()
             for t in re.split(r'(\d+)', os.path.basename(s))]

@@ -30,7 +30,8 @@ _DTYPES = {
 
 def render_fn(params, triangles, texture, mask, vn, c2w, fov, *,
               model: RenderFormer, resolution: int,
-              dtype, view_dtype, impl: str, dropout_rng=None):
+              dtype, view_dtype, impl: str, dropout_rng=None,
+              output_dtype=None):
     """Pure jittable render step.
 
     triangles [bs, N, 3, 3], texture [bs, N, C, ps, ps], mask [bs, N] bool,
@@ -91,6 +92,11 @@ def render_fn(params, triangles, texture, mask, vn, c2w, fov, *,
     imgs = imgs.astype(jnp.float32)
     if not cfg.use_ldr:
         imgs = hdr_decode_image(imgs)
+    if output_dtype is not None:
+        # cast on device before the host fetch — halves device->host
+        # bytes (fp16 keeps EXR-half precision; the codec stores fp32
+        # but half-precision data is what fp16-autocast references ship)
+        imgs = imgs.astype(output_dtype)
     return imgs
 
 
@@ -181,8 +187,13 @@ class RenderingPipeline:
 
     def render(self, triangles, texture, mask, vn, c2w, fov,
                resolution: int = 512, precision: Optional[str] = None,
-               view_precision: Optional[str] = None):
-        """Render; numpy/jax array inputs. Returns HDR [bs, V, H, W, 3]."""
+               view_precision: Optional[str] = None,
+               output_dtype: Optional[str] = None):
+        """Render; numpy/jax array inputs. Returns HDR [bs, V, H, W, 3].
+
+        ``output_dtype`` ('float16'/'bfloat16') casts the HDR image on
+        device before it is fetched — for transfer-bandwidth-limited
+        hosts (batch_infer --transfer_dtype)."""
         if precision is None:
             precision = self.runtime.compute_dtype
             view_precision = view_precision or self.runtime.view_dtype
@@ -195,11 +206,20 @@ class RenderingPipeline:
             view_dtype = _DTYPES[view_precision]
         impl = self._resolve_impl()
 
-        key = (resolution, str(dtype), str(view_dtype), impl, self.sp_mode)
+        # output/transfer dtypes are storage formats, not compute dtypes:
+        # fp16 (10-bit mantissa) is the EXR-half layout and strictly
+        # better than bf16 for image transport
+        _out_map = {'float32': jnp.float32, 'fp32': jnp.float32,
+                    'float16': jnp.float16, 'fp16': jnp.float16,
+                    'bfloat16': jnp.bfloat16, 'bf16': jnp.bfloat16}
+        out_dt = _out_map[output_dtype] if output_dtype else None
+        key = (resolution, str(dtype), str(view_dtype), impl, self.sp_mode,
+               str(out_dt))
         if key not in self._jitted:
             fn = functools.partial(
                 render_fn, model=self.model, resolution=resolution,
-                dtype=dtype, view_dtype=view_dtype, impl=impl)
+                dtype=dtype, view_dtype=view_dtype, impl=impl,
+                output_dtype=out_dt)
             if self.mesh is not None:
                 from renderformer_tpu.parallel.sharding import replicated
                 from jax.sharding import NamedSharding, PartitionSpec as P

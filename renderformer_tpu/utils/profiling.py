@@ -78,10 +78,16 @@ class ThroughputMeter:
         if not times:
             return {}
         dt = sum(times) / len(times)
+        # median is robust to one-time tails the fixed warmup can't know
+        # about (e.g. the first post-compile step blocking on the weight
+        # + scene upload through a slow device tunnel)
+        med = sorted(times)[len(times) // 2]
         return {
             'steps': len(times),
             'mean_step_s': dt,
+            'median_step_s': med,
             'rays_per_s': self.rays_per_step / dt,
+            'rays_per_s_median': self.rays_per_step / med,
             'ray_tokens_per_s': self.ray_tokens_per_step / dt,
             'triangle_tokens_per_s': self.batch_size * self.triangle_tokens / dt,
         }

@@ -21,6 +21,10 @@ def main():
     parser.add_argument('--model_id', type=str, default='v1-base')
     parser.add_argument('--precision', type=str,
                         choices=['bf16', 'fp16', 'fp32'], default='bf16')
+    parser.add_argument('--view_precision', type=str,
+                        choices=['bf16', 'fp16', 'fp32'], default=None,
+                        help='Stage-2 precision; default = --precision '
+                             '(fp32 restores the reference TF32 island)')
     parser.add_argument('--resolution', type=int, default=512)
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--padding_length', type=int, default=None,
@@ -220,6 +224,7 @@ def main():
                 fov=chunk['fov'][..., None],
                 resolution=args.resolution,
                 precision=args.precision,
+                view_precision=args.view_precision,
                 output_dtype=out_dtype,
             )
             sync_or_flush(rendered_dev, chunk, flush_video)
@@ -244,6 +249,7 @@ def main():
                 fov=batch['fov'][..., None],
                 resolution=args.resolution,
                 precision=args.precision,
+                view_precision=args.view_precision,
                 output_dtype=out_dtype,
             )
             sync_or_flush(rendered_dev, batch, flush)

@@ -26,6 +26,13 @@ def main():
     parser.add_argument('--precision', type=str,
                         choices=['bf16', 'fp16', 'fp32'], default='bf16',
                         help='Precision for inference (fp16 maps to bf16 on TPU)')
+    parser.add_argument('--view_precision', type=str,
+                        choices=['bf16', 'fp16', 'fp32'], default=None,
+                        help='Stage-2 (view transformer + DPT) precision; '
+                             'default = same as --precision. fp32 restores '
+                             "the reference's TF32 view island (a CUDA-fp16 "
+                             'overflow guard bf16 does not need — '
+                             'tools/precision_study.py)')
     parser.add_argument('--resolution', type=int, default=512)
     parser.add_argument('--output_dir', type=str, required=False,
                         help='Output directory (default: same as input H5)')
@@ -72,6 +79,7 @@ def main():
         fov=data['fov'][None, :, None],
         resolution=args.resolution,
         precision=args.precision,
+        view_precision=args.view_precision,
     )
     rendered = np.asarray(rendered)
     print('Inference completed. Rendered images shape:', rendered.shape)

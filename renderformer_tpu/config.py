@@ -131,16 +131,24 @@ class RenderFormerConfig:
 class RuntimeConfig:
     """TPU execution policy — orthogonal to the learned architecture.
 
-    Mirrors the reference's precision behavior
-    (/root/reference/renderformer/pipelines/rendering_pipeline.py:98-105):
-    the reference runs stage 1 under fp16/bf16 autocast and stage 2 in
-    fp32-with-TF32 ("tf32_view_tf").  On TPU the equivalent policy is
-    bf16 compute for stage 1 and fp32 (or bf16) for stage 2, with RoPE,
-    camera math and softmax statistics always in fp32.
+    The reference runs stage 1 under fp16/bf16 autocast and stage 2 in
+    fp32-with-TF32 ("tf32_view_tf",
+    /root/reference/renderformer/pipelines/rendering_pipeline.py:98-105)
+    — a CUDA-fp16 overflow mitigation: fp16's 5-bit exponent overflows
+    in the view attention logits.  bf16 carries fp32's 8-bit exponent,
+    so that failure mode does not exist on TPU, and the fp32 island is
+    pure cost (2.1x stage-2 throughput on the 483M model, BENCH_r02).
+    Measured at full 483M size on real scene geometry
+    (tools/precision_study.py, 512^2): bf16-view is 59.6 dB HDR /
+    63.6 dB tone-mapped PSNR against the all-fp32 render — far above
+    the visually-lossless bar — so bf16 view compute is the default.
+    Pass view_precision='fp32' (infer.py --view_precision) to restore
+    the fp32 island.  RoPE, camera math and softmax statistics are
+    always fp32 regardless.
     """
 
     compute_dtype: str = 'bfloat16'       # stage-1 matmul dtype
-    view_dtype: str = 'float32'           # stage-2 matmul dtype (ref: tf32)
+    view_dtype: str = 'bfloat16'          # stage-2 matmul dtype (see above)
     param_dtype: str = 'float32'
     attn_impl: str = 'auto'               # 'auto' | 'xla' | 'flash'
     # sharding

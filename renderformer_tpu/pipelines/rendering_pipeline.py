@@ -198,10 +198,14 @@ class RenderingPipeline:
             precision = self.runtime.compute_dtype
             view_precision = view_precision or self.runtime.view_dtype
         dtype = _DTYPES[precision]
-        # reference: half-precision outer dtype -> fp32(TF32) view stage
-        # (rendering_pipeline.py:99); fp32 -> bf16 view stage.
+        # Default: view stage runs at the stage-1 dtype.  The reference's
+        # fp32(TF32) view island under a half outer dtype
+        # (rendering_pipeline.py:99) guarded CUDA-fp16 logit overflow;
+        # bf16 has fp32's exponent range, and bf16-view measures 59.6 dB
+        # HDR PSNR vs all-fp32 at full 483M size (tools/precision_study.py)
+        # at 2.1x the stage-2 throughput — see RuntimeConfig.view_dtype.
         if view_precision is None:
-            view_dtype = jnp.float32 if dtype != jnp.float32 else jnp.bfloat16
+            view_dtype = dtype
         else:
             view_dtype = _DTYPES[view_precision]
         impl = self._resolve_impl()

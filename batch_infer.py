@@ -53,7 +53,10 @@ def main():
     parser.add_argument('--transfer_dtype',
                         choices=['float32', 'float16'], default='float16',
                         help='Device->host image dtype: float16 halves '
-                             'transfer bytes at EXR-half precision')
+                             'transfer bytes at EXR-half precision '
+                             '(radiance is clamped to the fp16 max 65504 '
+                             'on device; pass float32 for unquantized HDR '
+                             'like the reference)')
     parser.add_argument('--no_output', action='store_true',
                         help='Benchmark mode: skip image fetch + file '
                              'writes, sync each batch with a 1-element '
@@ -96,9 +99,18 @@ def main():
     # full scene per frame (/root/reference/batch_infer.py:85-101) —
     # free over PCIe, fatal over a bandwidth-limited device tunnel.
     use_video = False
+    if args.video_mode == 'on' and args.shard:
+        # explicit request that cannot be honored — fail loudly instead of
+        # silently falling back to the slow per-frame path (ADVICE r3)
+        parser.error('--video_mode on is incompatible with --shard '
+                     '(the device-resident-scene fast path is single-mesh); '
+                     'drop --shard or use --video_mode auto/off')
     if args.video_mode != 'off' and not args.shard:
         if args.video_mode == 'on' or probe_static_scene(files):
             use_video = True
+    elif args.shard and args.video_mode == 'auto' and len(files) > 1:
+        print('NOTICE: --shard disables the static-scene video fast path; '
+              'frames render through the sharded per-batch path')
     if args.video_mode == 'auto' and use_video and len(files) > 1:
         print('video mode: static scene detected (frames 0/1 share scene '
               'tensors bitwise); uploading scene once, streaming cameras. '

@@ -77,8 +77,15 @@ def load_cameras_h5(file_path: str):
 
 def _geometry_digest(file_path: str) -> str:
     """Cheap per-frame guard for the static-scene assumption: hash of the
-    raw ``triangles`` + ``vn`` datasets (~300 KB at 4k tris) — read and
-    hashed without touching the large texture dataset."""
+    raw ``triangles`` + ``vn`` datasets (~300 KB at 4k tris) plus a
+    STRIDED texture fingerprint — <=64 triangle rows of the texture
+    dataset (~1.7 MB decompressed), so material/emission animation that
+    only starts at frame >=2 raises like geometry animation does instead
+    of silently rendering every frame with frame-0 texture (ADVICE r3
+    medium #1).  Full-texture hashing would cost ~10^2 MB of gzip
+    decompression per frame; the strided rows catch any texture edit that
+    touches >=1/64th of the triangles, and the frames-0/1 bitwise probe
+    already gates entry to this path."""
     import hashlib
     h = hashlib.blake2b(digest_size=16)
     with h5py.File(file_path, 'r') as f:
@@ -86,6 +93,11 @@ def _geometry_digest(file_path: str) -> str:
             arr = np.ascontiguousarray(np.asarray(f[k]))
             h.update(str(arr.shape).encode())
             h.update(arr.tobytes())
+        tex = f['texture']
+        h.update(str(tex.shape).encode())
+        stride = max(1, tex.shape[0] // 64)
+        sample = np.ascontiguousarray(tex[::stride])
+        h.update(sample.tobytes())
     return h.hexdigest()
 
 
@@ -114,10 +126,12 @@ class VideoSceneDataset:
     per-frame cameras, so the caller can keep the scene device-resident
     and ship ~100 B/frame instead of ~10^2 MB/frame.
 
-    Safety: every frame's geometry (triangles+vn) digest is checked
-    against frame 0; a mismatch raises (the folder was not actually a
-    static scene — fall back to SceneFolderDataset). Texture is assumed
-    static once frames 0/1 match bitwise (probe_static_scene).
+    Safety: every frame's digest — geometry (triangles+vn) plus a strided
+    texture fingerprint — is checked against frame 0; a mismatch raises
+    (the folder was not actually a static scene — fall back to
+    SceneFolderDataset). Frames 0/1 are additionally compared bitwise
+    over ALL scene tensors before this path is chosen
+    (probe_static_scene).
     """
 
     def __init__(self, folder: str, verify_geometry: bool = True):
@@ -140,8 +154,9 @@ class VideoSceneDataset:
             if self.verify_geometry and fp != self.files[0]:
                 if _geometry_digest(fp) != self._digest0:
                     raise ValueError(
-                        f'{fp}: geometry differs from frame 0 — folder is '
-                        'not a static scene; use SceneFolderDataset')
+                        f'{fp}: scene content (geometry or texture) differs '
+                        'from frame 0 — folder is not a static scene; use '
+                        'SceneFolderDataset')
             c2w, fov = load_cameras_h5(fp)
             for v in range(c2w.shape[0]):
                 entries.append((fp, v))

@@ -80,8 +80,12 @@ class ThroughputMeter:
         dt = sum(times) / len(times)
         # median is robust to one-time tails the fixed warmup can't know
         # about (e.g. the first post-compile step blocking on the weight
-        # + scene upload through a slow device tunnel)
-        med = sorted(times)[len(times) // 2]
+        # + scene upload through a slow device tunnel); statistics.median
+        # averages the two middle samples for even counts — the common
+        # 3-batch run has 2 post-warmup windows, and picking the slower
+        # one overstated the step time (ADVICE r3 low #4)
+        import statistics
+        med = statistics.median(times)
         return {
             'steps': len(times),
             'mean_step_s': dt,

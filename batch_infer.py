@@ -57,6 +57,12 @@ def main():
                              '(radiance is clamped to the fp16 max 65504 '
                              'on device; pass float32 for unquantized HDR '
                              'like the reference)')
+    parser.add_argument('--frames_per_call', type=int, default=4,
+                        help='Video mode: camera chunks rendered per '
+                             'device program (lax.scan inside one jit) — '
+                             'amortizes the per-dispatch round trip '
+                             'through the device tunnel. 1 = one chunk '
+                             'per dispatch')
     parser.add_argument('--no_output', action='store_true',
                         help='Benchmark mode: skip image fetch + file '
                              'writes, sync each batch with a 1-element '
@@ -205,41 +211,62 @@ def main():
         dev_scene = {k: jax.device_put(np.asarray(scene[k])[None])
                      for k in ('triangles', 'texture', 'mask', 'vn')}
 
-        def flush_video(rendered_dev, chunk):
+        def flush_video(rendered_dev, chunks):
+            """rendered_dev [K, 1, V, H, W, 3]; chunks: K chunk dicts."""
             nonlocal frame_counter
-            rendered = np.asarray(rendered_dev)  # [1, V, H, W, 3]
-            for i, (fp, view_idx) in enumerate(chunk['entries']):
-                base = os.path.splitext(os.path.basename(fp))[0]
-                writer.submit(
-                    postprocess,
-                    rendered[0, i].astype(np.float32),
-                    os.path.join(output_dir, f'{base}_view_{view_idx}.exr'),
-                    os.path.join(output_dir, f'{base}_view_{view_idx}.png'),
-                    frame_counter if args.save_video else None)
-                frame_counter += 1
-                print(f'Rendered {base}')
+            rendered = np.asarray(rendered_dev)
+            for ci, chunk in enumerate(chunks):
+                for i, (fp, view_idx) in enumerate(chunk['entries']):
+                    base = os.path.splitext(os.path.basename(fp))[0]
+                    writer.submit(
+                        postprocess,
+                        rendered[ci, 0, i].astype(np.float32),
+                        os.path.join(output_dir,
+                                     f'{base}_view_{view_idx}.exr'),
+                        os.path.join(output_dir,
+                                     f'{base}_view_{view_idx}.png'),
+                        frame_counter if args.save_video else None)
+                    frame_counter += 1
+                    print(f'Rendered {base}')
 
-        for chunk in prefetch(ds.view_chunks(args.batch_size), depth=2):
+        def grouped_chunks(it, k):
+            """Group K camera chunks per device program; the final group
+            is padded by repeating its last chunk (static K per program —
+            no recompile) and padded outputs are dropped (group carries
+            only the real chunks)."""
+            group = []
+            for chunk in it:
+                group.append(chunk)
+                if len(group) == k:
+                    yield group
+                    group = []
+            if group:
+                yield group
+
+        kpc = max(1, args.frames_per_call)
+        for group in prefetch(
+                grouped_chunks(ds.view_chunks(args.batch_size), kpc),
+                depth=2):
             if meter is None:
                 meter = ThroughputMeter(
                     resolution=args.resolution,
-                    views_per_step=chunk['c2w'].shape[1],
+                    views_per_step=kpc * group[0]['c2w'].shape[1],
                     batch_size=1,
                     triangle_tokens=scene['triangles'].shape[0])
+            pad = [group[-1]] * (kpc - len(group))
+            c2w_seq = np.stack([c['c2w'] for c in group + pad])
+            fov_seq = np.stack([c['fov'][..., None] for c in group + pad])
             meter.start()
-            rendered_dev = pipeline.render(
-                triangles=dev_scene['triangles'],
-                texture=dev_scene['texture'],
-                mask=dev_scene['mask'],
-                vn=dev_scene['vn'],
-                c2w=chunk['c2w'],
-                fov=chunk['fov'][..., None],
+            rendered_dev = pipeline.render_many(
+                dev_scene['triangles'], dev_scene['texture'],
+                dev_scene['mask'], dev_scene['vn'],
+                c2w_seq, fov_seq,
                 resolution=args.resolution,
                 precision=args.precision,
                 view_precision=args.view_precision,
                 output_dtype=out_dtype,
             )
-            sync_or_flush(rendered_dev, chunk, flush_video)
+            sync_or_flush(rendered_dev, group, flush_video)
             meter.stop()
         for item in inflight:
             flush_video(*item)

@@ -178,6 +178,8 @@ def trace_env_flags() -> tuple:
         os.environ.get('RFTPU_FUSE_ROPE', '1'),
         os.environ.get('RFTPU_SPLIT_QKV', '1'),
         os.environ.get('RFTPU_FWD_SPLIT', ''),
+        os.environ.get('RFTPU_SWIN_KERNEL', '1'),
+        os.environ.get('RFTPU_DPT_TAIL', ''),
     )
 
 

@@ -451,14 +451,39 @@ class SwinSelfAttention:
             params['k_norm'] = norm_init(self.norm_type, self.dim)
         return params
 
-    def _windowed_attend(self, params, xw, attn_mask, impl):
-        """Shared core on [B*nW, ws*ws, C] windows."""
+    def _windowed_attend(self, params, xw, attn_mask, impl, grid_hw=None):
+        """Shared core on [B*nW, ws*ws, C] windows.
+
+        On the flash backend, windows route to the batched pair-window
+        Pallas kernel (ops/swin_attention.py): consecutive 64-token
+        windows pair into native 128-row MXU tiles with the shifted
+        mask as an additive bias — the generic flash kernel's 128-row
+        padding made it SLOWER than XLA here (nn/attention.py r3 note).
+        RFTPU_SWIN_KERNEL=0 opts out (trace-time toggle, in the jit
+        cache keys via config.trace_env_flags)."""
         c = xw.shape[-1]
         s = self.window_size * self.window_size
         q, k, v = jnp.split(dense(params['in_proj'], xw), 3, axis=-1)
         if self.qk_norm:
             q = apply_norm(self.norm_type, params['q_norm'], q, ATTN_EPS).astype(v.dtype)
             k = apply_norm(self.norm_type, params['k_norm'], k, ATTN_EPS).astype(v.dtype)
+
+        if grid_hw is not None and impl == 'flash':
+            import os
+            from renderformer_tpu.ops.swin_attention import (
+                swin_kernel_applicable, swin_window_attention)
+            h, w = grid_hw
+            n_windows = (h // self.window_size) * (w // self.window_size)
+            if (os.environ.get('RFTPU_SWIN_KERNEL', '1') != '0'
+                    and swin_kernel_applicable(
+                        q.shape[0], s, c, self.num_heads, n_windows)):
+                out = swin_window_attention(
+                    q.astype(v.dtype), k.astype(v.dtype), v,
+                    n_windows=n_windows, grid_hw=grid_hw,
+                    window_size=self.window_size,
+                    shift_size=self.shift_size)
+                return dense(params['out_proj'], out)
+
         q = q.reshape(-1, s, self.num_heads, c // self.num_heads)
         k = k.reshape(-1, s, self.num_heads, c // self.num_heads)
         v = v.reshape(-1, s, self.num_heads, c // self.num_heads)
@@ -490,7 +515,7 @@ class SwinSelfAttention:
                 attn_mask = None
             out = self._windowed_attend(
                 params, x.reshape(b * (s // (ws * ws)), ws * ws, c),
-                attn_mask, impl)
+                attn_mask, impl, grid_hw=(h, w))
             out = out.reshape(b, s, c)
             if self.shift_size > 0:
                 out = shifted_regroup(out, h, w, ws, self.shift_size,
@@ -506,7 +531,8 @@ class SwinSelfAttention:
             attn_mask = None
 
         xw = window_partition(x, ws)  # [B*nW, ws*ws, C]
-        out = self._windowed_attend(params, xw, attn_mask, impl)
+        out = self._windowed_attend(params, xw, attn_mask, impl,
+                                    grid_hw=(h, w))
         x = window_reverse(out, ws, h, w)
         if self.shift_size > 0:
             x = jnp.roll(x, shift=(self.shift_size, self.shift_size), axis=(1, 2))

@@ -128,7 +128,7 @@ def _swin_fwd(q, k, v, bias, pairs_per_block: int, interpret: bool):
         out_specs=qkv_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary')),
+            dimension_semantics=('parallel', 'parallel')),
     )(qs, kp, vp, bias)
     return out.reshape(bw, s, c)
 

@@ -274,3 +274,65 @@ class RenderingPipeline:
         return fn(params, *args)
 
     __call__ = render
+
+    def render_many(self, triangles, texture, mask, vn, c2w_seq, fov_seq,
+                    resolution: int = 512, precision: Optional[str] = None,
+                    view_precision: Optional[str] = None,
+                    output_dtype: Optional[str] = None):
+        """Render K camera chunks of one scene in ONE device program.
+
+        c2w_seq [K, bs, V, 4, 4], fov_seq [K, bs, V, 1] — a lax.scan over
+        the K axis re-uses the device-resident scene and collapses K
+        dispatch round-trips into one (VERDICT r3 next #5: the per-call
+        dispatch-ack overhead left the video device path at 11.3 vs
+        16.8 M rays/s for the bench-loop equivalent).  Returns HDR images
+        [K, bs, V, H, W, 3].  Single-mesh path only.
+        """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                'render_many is the single-device video fast path; '
+                'sharded rendering uses render()')
+        if precision is None:
+            precision = self.runtime.compute_dtype
+            view_precision = view_precision or self.runtime.view_dtype
+        dtype = _DTYPES[precision]
+        view_dtype = _DTYPES[view_precision] if view_precision else dtype
+        impl = self._resolve_impl()
+        _out_map = {'float32': jnp.float32, 'fp32': jnp.float32,
+                    'float16': jnp.float16, 'fp16': jnp.float16,
+                    'bfloat16': jnp.bfloat16, 'bf16': jnp.bfloat16}
+        out_dt = _out_map[output_dtype] if output_dtype else None
+        k = c2w_seq.shape[0]
+        from renderformer_tpu.config import trace_env_flags
+        key = ('many', k, resolution, str(dtype), str(view_dtype), impl,
+               str(out_dt), trace_env_flags())
+        if key not in self._jitted:
+            base = functools.partial(
+                render_fn, model=self.model, resolution=resolution,
+                dtype=dtype, view_dtype=view_dtype, impl=impl,
+                output_dtype=out_dt)
+
+            def many(params, tris, tex, msk, vns, c2w_k, fov_k):
+                def body(_, cam):
+                    c2w, fov = cam
+                    return None, base(params, tris, tex, msk, vns, c2w, fov)
+                _, imgs = jax.lax.scan(body, None, (c2w_k, fov_k))
+                return imgs
+
+            self._jitted[key] = jax.jit(many)
+        fn = self._jitted[key]
+        pkey = (str(dtype), str(view_dtype))
+        if pkey not in self._cast_params:
+            from renderformer_tpu.nn.core import cast_params
+            vt = cast_params(self.params['view_transformer'], view_dtype)
+            rest = cast_params(
+                {kk: v for kk, v in self.params.items()
+                 if kk != 'view_transformer'}, dtype)
+            self._cast_params[pkey] = {**rest, 'view_transformer': vt}
+        return fn(self._cast_params[pkey],
+                  jnp.asarray(triangles, jnp.float32),
+                  jnp.asarray(texture, jnp.float32),
+                  jnp.asarray(mask, bool),
+                  jnp.asarray(vn, jnp.float32),
+                  jnp.asarray(c2w_seq, jnp.float32),
+                  jnp.asarray(fov_seq, jnp.float32))

@@ -7,6 +7,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tests.test_distributed import _make_dataset
@@ -50,6 +51,7 @@ def _run(step, state, batch, n=3):
     return state, losses
 
 
+@pytest.mark.slow
 def test_shadow_matches_in_graph_cast(tmp_path):
     from renderformer_tpu.training.state import TrainState, make_shadow_tree
 
@@ -79,6 +81,7 @@ def test_shadow_matches_in_graph_cast(tmp_path):
             np.asarray(a), np.asarray(b)), s_sh.shadow, fresh)
 
 
+@pytest.mark.slow
 def test_shadow_none_first_step_still_works(tmp_path):
     """A state without a prebuilt shadow falls back to an in-step cast
     (same math, one extra trace)."""

@@ -46,6 +46,7 @@ def _run_worker(rank, world, port, data_dir, out_dir, env):
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
 
+@pytest.mark.slow
 def test_two_process_training_matches_single_process(tmp_path):
     data_dir = str(tmp_path / 'data')
     _make_dataset(data_dir)
@@ -92,6 +93,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(rank1, multi, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sigterm_saves_preemption_checkpoint(tmp_path):
     """TPU maintenance preemption delivers SIGTERM; the trainer must
     snapshot a resumable checkpoint before exiting (SURVEY.md §5 failure

@@ -6,6 +6,7 @@ Checks: inverted-dropout statistics, eval-path identity, train-path
 stochasticity, and that the train step accepts a dropout architecture.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,7 @@ def test_model_dropout_train_vs_eval():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_train_step_with_dropout():
     rng = np.random.default_rng(13)
     b, n, v, res = 1, 8, 1, 32

@@ -68,6 +68,7 @@ def _torch_pipeline_render(tmodel, data, res):
     return (torch.pow(10.0, out) - 1.0).numpy()
 
 
+@pytest.mark.slow
 def test_cbox_pipeline_parity(tmp_path):
     examples = os.path.join(REPO, 'examples')
     if not os.path.isdir(examples):

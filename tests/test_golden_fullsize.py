@@ -114,9 +114,11 @@ def _run_fullsize(preset_name, expect_params_m, seed, atol):
     np.testing.assert_allclose(got_nchw, want, atol=atol, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fullsize_v1_base_205m():
     _run_fullsize('v1-base', 205.2, seed=0, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fullsize_v1_1_swin_large_483m():
     _run_fullsize('v1.1-swin-large', 483.5, seed=1, atol=1e-4)

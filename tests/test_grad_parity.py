@@ -29,6 +29,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_gradient_parity_texture_and_weights():
     torch.manual_seed(3)
     rng = np.random.default_rng(3)

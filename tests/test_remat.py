@@ -9,6 +9,7 @@ gradient checkpointing from configs/config.yml `use_gradient_checkpointing`.
 
 import dataclasses
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -63,16 +64,19 @@ def _assert_remat_invariant(cfg_kw, res=32):
                                    rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     _assert_remat_invariant(TINY)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat_swin():
     # swin windows are 8x8 patches -> needs a >=64^2 ray grid
     _assert_remat_invariant(
         dict(TINY, view_transformer_use_swin_attn=True), res=64)
 
 
+@pytest.mark.slow
 def test_train_step_remat_flag():
     """TrainConfig.remat flows through make_train_step and produces the
     same loss/grad-norm as the non-remat step."""

@@ -42,6 +42,7 @@ def test_block_kernel_sparsity():
     assert kk.size == 9 * 8 * 8
 
 
+@pytest.mark.slow
 def test_dpt_tail_s2d_matches_plain(monkeypatch):
     """The DPT head with the s2d output tail matches the plain tail
     (nn/dpt.py _output_tail_s2d; reference dpt.py:243-273 semantics)."""

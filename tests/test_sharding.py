@@ -66,6 +66,7 @@ def test_sharded_render_matches_single_device(setup):
     np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(setup):
     model, params, batch, res = setup
     tc = TrainConfig(resolution=res, precision='float32',
@@ -121,6 +122,7 @@ def test_ring_render_matches_single_device(setup):
     np.testing.assert_allclose(ringed, single, atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ring_train_step_matches_single_device(setup):
     """Gradients through ring attention (ring-level custom VJP) must
     match single-device autodiff."""

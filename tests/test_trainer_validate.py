@@ -10,6 +10,7 @@ interval-only. Now validate() pads the partial batch (dataset
 
 import os
 
+import pytest
 import numpy as np
 
 from tests.test_distributed import _make_dataset
@@ -50,6 +51,7 @@ def test_batches_pad_last():
         assert len(got_drop) == 1 and 'valid' not in got_drop[0]
 
 
+@pytest.mark.slow
 def test_small_val_set_gets_finite_loss_and_best_checkpoint(tmp_path):
     """len(val)=2 < batch_size=4: val loss must be finite and the
     best-val checkpoint must be written."""

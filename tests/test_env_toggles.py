@@ -34,25 +34,24 @@ def _scene(n=16, nv=1):
     )
 
 
-@pytest.mark.parametrize('var', [
-    'RFTPU_PATCHED_RAYS', 'RFTPU_FUSE_ROPE', 'RFTPU_SPLIT_QKV',
-    'RFTPU_FWD_SPLIT'])
-def test_toggle_flip_retraces(monkeypatch, var):
+def test_toggle_flips_retrace(monkeypatch):
+    """Flipping each toggle creates a NEW jit entry (fresh trace) on one
+    shared pipeline — 5 renders instead of 4x2 (fast-tier budget)."""
     pipe = RenderingPipeline.from_config(RenderFormerConfig(**TINY))
     args = _scene()
 
     out1 = np.asarray(pipe.render(*args, resolution=32))
     assert len(pipe._jitted) == 1
 
-    val = '0' if var != 'RFTPU_FWD_SPLIT' else '2'
-    monkeypatch.setenv(var, val)
-    out2 = np.asarray(pipe.render(*args, resolution=32))
-    # the flip must create a NEW jit entry (a fresh trace), not reuse the
-    # stale one
-    assert len(pipe._jitted) == 2, (
-        f'flipping {var} reused the stale trace (cache key missed it)')
-    # and the configurations are numerically equivalent paths
-    np.testing.assert_allclose(out1, out2, rtol=2e-2, atol=2e-3)
+    for i, (var, val) in enumerate([
+            ('RFTPU_PATCHED_RAYS', '0'), ('RFTPU_FUSE_ROPE', '0'),
+            ('RFTPU_SPLIT_QKV', '0'), ('RFTPU_FWD_SPLIT', '2')]):
+        monkeypatch.setenv(var, val)
+        out2 = np.asarray(pipe.render(*args, resolution=32))
+        assert len(pipe._jitted) == 2 + i, (
+            f'flipping {var} reused the stale trace (cache key missed it)')
+        # and the configurations are numerically equivalent paths
+        np.testing.assert_allclose(out1, out2, rtol=2e-2, atol=2e-3)
 
 
 def test_trace_env_flags_snapshot(monkeypatch):

@@ -30,8 +30,10 @@ def _gather_ref(x, out_hw):
 
 
 # The four refinenet upsamples of a 512² render plus a non-square case.
+# The full-size 256² case is slow-tier (>20 s on 2 CPU cores).
 CASES = [(32, 32, 64, 64, 128), (64, 64, 128, 128, 128),
-         (128, 128, 256, 256, 128), (16, 32, 32, 64, 128)]
+         pytest.param(128, 128, 256, 256, 128, marks=pytest.mark.slow),
+         (16, 32, 32, 64, 128)]
 
 
 @pytest.mark.parametrize('ih,iw,oh,ow,c', CASES)
@@ -109,9 +111,10 @@ def test_dispatch_fallback_unsupported_channels(monkeypatch):
 # fused resize -> space-to-depth (the composed DPT tail input transform)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize('ih,iw,oh,ow,c', [(64, 64, 128, 128, 128),
-                                           (128, 128, 256, 256, 128),
-                                           (16, 32, 32, 64, 128)])
+@pytest.mark.parametrize('ih,iw,oh,ow,c', [
+    (64, 64, 128, 128, 128),
+    pytest.param(128, 128, 256, 256, 128, marks=pytest.mark.slow),
+    (16, 32, 32, 64, 128)])
 def test_resize_s2d_forward_exact(ih, iw, oh, ow, c):
     from renderformer_tpu.ops.fused_resize import (
         fused_resize_s2d, fused_resize_s2d_supported)

@@ -81,6 +81,7 @@ def main():
         precision=precision,
         resolution=int(d.get('max_resolution', 256)),
         remat=bool(mem.get('use_gradient_checkpointing', False)),
+        bf16_shadow_params=bool(mem.get('bf16_shadow_params', False)),
     )
     trainer_cfg = TrainerConfig(
         train=train_cfg,

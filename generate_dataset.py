@@ -17,6 +17,11 @@ sources so the dataset -> train loop is executable WITHOUT Blender:
     convergence tests;
   * ``raster``  — the software debug rasterizer (render_h5_to_png.py):
     geometry-faithful flat-shaded images, no ML weights involved;
+  * ``pathtrace`` — the TPU-native Monte-Carlo path tracer
+    (renderformer_tpu/scene/path_tracer.py): physically-based GT (area
+    lights, NEE, diffuse interreflection) with no external dependency —
+    the in-framework equivalent of the reference's Blender GT
+    (``--gt_spp`` controls quality);
   * ``none``    — scenes only;
   * ``auto``    — blender when available, else raster.
 """
@@ -224,7 +229,7 @@ class SceneGenerator:
         Runs AFTER scene generation in one pass so 'model' compiles the
         render once and streams scenes through it (the reference's
         per-scene Blender subprocess has no compile to amortize)."""
-        if self.gt_mode not in ('model', 'raster'):
+        if self.gt_mode not in ('model', 'raster', 'pathtrace'):
             return
         import numpy as np
         import imageio
@@ -233,6 +238,27 @@ class SceneGenerator:
         if not h5_files:
             return
         res = int(self.config.get('GT_RESOLUTION', 256))
+
+        if self.gt_mode == 'pathtrace':
+            # physically-based GT from the TPU-native path tracer
+            # (scene/path_tracer.py) — the in-framework equivalent of the
+            # reference's Blender path-traced GT, with no external
+            # dependency; jit-compiled once, scenes stream through.
+            from renderformer_tpu.io.h5 import load_scene_h5
+            from renderformer_tpu.scene.path_tracer import (
+                render_scene_pathtrace)
+            spp = int(self.config.get('GT_SPP', 64))
+            for f in h5_files:
+                data = load_scene_h5(f)
+                img = render_scene_pathtrace(
+                    data, view=0, resolution=res, spp=spp,
+                    seed=int(self.config.get('GT_SEED', 0)))
+                name = Path(f).stem
+                imageio.v3.imwrite(
+                    str(self.gt_path / f'{name}.png'),
+                    (np.clip(img, 0, 1) * 255).astype(np.uint8))
+                print(f'GT (pathtrace spp={spp}) {name}.png')
+            return
 
         if self.gt_mode == 'raster':
             from render_h5_to_png import debug_render
@@ -298,7 +324,8 @@ def main(argv=None):
                     default=CONFIG['NUM_RANDOM_SCENES'])
     ap.add_argument('--obj_path', default=None)
     ap.add_argument('--gt_mode', default=CONFIG['GT_MODE'],
-                    choices=['blender', 'model', 'raster', 'none', 'auto'])
+                    choices=['blender', 'model', 'raster', 'pathtrace', 'none',
+                             'auto'])
     ap.add_argument('--gt_resolution', type=int,
                     default=CONFIG['GT_RESOLUTION'])
     ap.add_argument('--gt_preset', default=CONFIG['GT_PRESET'],
@@ -306,6 +333,8 @@ def main(argv=None):
                          '(gt_mode=model)')
     ap.add_argument('--gt_checkpoint', default=None,
                     help='local checkpoint dir for gt_mode=model')
+    ap.add_argument('--gt_spp', type=int, default=64,
+                    help='samples per pixel (gt_mode=pathtrace)')
     ap.add_argument('--seed', type=int, default=None,
                     help='scene randomization seed')
     args = ap.parse_args(argv)
@@ -322,6 +351,7 @@ def main(argv=None):
     CONFIG['GT_RESOLUTION'] = args.gt_resolution
     CONFIG['GT_PRESET'] = args.gt_preset
     CONFIG['GT_CHECKPOINT'] = args.gt_checkpoint
+    CONFIG['GT_SPP'] = args.gt_spp
     if args.seed is not None:
         random.seed(args.seed)
         CONFIG['GT_SEED'] = args.seed

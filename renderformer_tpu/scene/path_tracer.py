@@ -1,0 +1,307 @@
+"""TPU-native Monte-Carlo path tracer — an EXECUTABLE ground-truth
+renderer for the dataset pipeline.
+
+The reference's GT comes from Blender/blenderproc path tracing
+(/root/reference/scene_processor/render_scene.py:10-97,
+/root/reference/generate_dataset.py:342-386) — a subprocess this
+environment cannot run.  This module computes the same light transport
+(area-light path tracing with next-event estimation over emissive
+triangles, Lambertian BRDF from the scene's per-triangle diffuse color)
+as batched JAX ops that run on the TPU itself: ray-triangle intersection
+is a [rays x tris] Möller-Trumbore sweep chunked through a lax.scan (MXU
+/ VPU friendly, static shapes), bounces are a lax.scan over depth, and
+samples accumulate in a running mean.
+
+This makes `generate_dataset.py --gt_mode pathtrace` a physically-based
+GT source with zero external dependencies — the dataset -> fine-tune
+loop runs end to end on one TPU.
+
+Scope (documented, matching the training-data envelope of
+/root/reference/README.md:308-311): triangle soups <=8k tris, constant
+per-face materials (diffuse + emissive; specular/roughness are ignored
+by this v1 — the reference maps them to a principled BSDF), black
+environment.  Radiance is returned in linear HDR, same convention as
+RenderFormer's decoded output.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Intersection
+# ---------------------------------------------------------------------------
+
+def _mt_chunk(rays_o, rays_d, v0, e1, e2, valid):
+    """Möller-Trumbore for one triangle chunk.
+
+    rays_o/rays_d [R, 3]; v0/e1/e2 [C, 3]; valid [C].
+    Returns t [R, C] (+inf where missed), u, v barycentrics.
+    """
+    h = jnp.cross(rays_d[:, None, :], e2[None, :, :])        # [R, C, 3]
+    a = jnp.einsum('cj,rcj->rc', e1, h)                      # [R, C]
+    f = jnp.where(jnp.abs(a) > EPS, 1.0 / jnp.where(jnp.abs(a) > EPS, a, 1.0), 0.0)
+    s = rays_o[:, None, :] - v0[None, :, :]                  # [R, C, 3]
+    u = f * jnp.einsum('rcj,rcj->rc', s, h)
+    q = jnp.cross(s, e1[None, :, :])                         # [R, C, 3]
+    v = f * jnp.einsum('rj,rcj->rc', rays_d, q)
+    t = f * jnp.einsum('cj,rcj->rc', e2, q)
+    ok = ((jnp.abs(a) > EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > 1e-4) & valid[None, :])
+    return jnp.where(ok, t, jnp.inf), u, v
+
+
+def intersect(rays_o, rays_d, tris, mask, chunk: int = 512):
+    """Nearest hit of each ray against the triangle soup.
+
+    rays_o/rays_d [R, 3]; tris [N, 3, 3]; mask [N] bool.
+    Returns (t [R], tri_idx [R] int32, hit [R] bool).  Chunked over
+    triangles through a lax.scan so peak memory is [R, chunk, 3].
+    """
+    n = tris.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        tris = jnp.concatenate(
+            [tris, jnp.zeros((pad, 3, 3), tris.dtype)], axis=0)
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    nc = tris.shape[0] // chunk
+    v0 = tris[:, 0]
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+
+    def body(carry, xs):
+        best_t, best_i = carry
+        cv0, ce1, ce2, cvalid, base = xs
+        t, _, _ = _mt_chunk(rays_o, rays_d, cv0, ce1, ce2, cvalid)
+        tmin = jnp.min(t, axis=1)
+        imin = jnp.argmin(t, axis=1).astype(jnp.int32) + base
+        better = tmin < best_t
+        return (jnp.where(better, tmin, best_t),
+                jnp.where(better, imin, best_i)), None
+
+    xs = (v0.reshape(nc, chunk, 3), e1.reshape(nc, chunk, 3),
+          e2.reshape(nc, chunk, 3), mask.reshape(nc, chunk),
+          jnp.arange(nc, dtype=jnp.int32) * chunk)
+    (t, idx), _ = jax.lax.scan(
+        body, (jnp.full(rays_o.shape[:1], jnp.inf),
+               jnp.zeros(rays_o.shape[:1], jnp.int32)), xs)
+    return t, idx, jnp.isfinite(t)
+
+
+def occluded(rays_o, rays_d, max_t, tris, mask, chunk: int = 512):
+    """True where the segment [o, o + max_t*d) hits any triangle."""
+    t, _, hit = intersect(rays_o, rays_d, tris, mask, chunk)
+    return hit & (t < max_t * (1.0 - 1e-3))
+
+
+# ---------------------------------------------------------------------------
+# Sampling helpers
+# ---------------------------------------------------------------------------
+
+def _onb(n):
+    """Orthonormal basis around unit normals n [R, 3] (Frisvad)."""
+    sign = jnp.where(n[:, 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n[:, 2])
+    b = n[:, 0] * n[:, 1] * a
+    t1 = jnp.stack([1.0 + sign * n[:, 0] ** 2 * a, sign * b,
+                    -sign * n[:, 0]], axis=-1)
+    t2 = jnp.stack([b, sign + n[:, 1] ** 2 * a, -n[:, 1]], axis=-1)
+    return t1, t2
+
+
+def _cosine_sample(key, n):
+    """Cosine-weighted hemisphere directions around normals n [R, 3]."""
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, n.shape[:1])
+    u2 = jax.random.uniform(k2, n.shape[:1])
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    t1, t2 = _onb(n)
+    d = (r[:, None] * jnp.cos(phi)[:, None] * t1
+         + r[:, None] * jnp.sin(phi)[:, None] * t2
+         + jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))[:, None] * n)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Path tracing
+# ---------------------------------------------------------------------------
+
+def _scene_arrays(tris, mask, diffuse, emissive):
+    """Per-triangle derived quantities (normals, areas, light pdf)."""
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    fn = jnp.cross(e1, e2)
+    area2 = jnp.linalg.norm(fn, axis=-1)                 # 2 * area
+    normal = fn / jnp.maximum(area2, EPS)[:, None]
+    area = 0.5 * area2
+    lum = jnp.sum(emissive, axis=-1) * area * mask
+    total = jnp.sum(lum)
+    pdf = jnp.where(total > 0, lum / jnp.maximum(total, EPS), 0.0)
+    return normal, area, pdf, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('resolution', 'spp', 'max_depth', 'chunk', 'nee'))
+def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
+               resolution: int = 256, spp: int = 64, max_depth: int = 3,
+               chunk: int = 512, nee: bool = True):
+    """Render one view with path tracing on the accelerator.
+
+    tris [N,3,3] f32, vn [N,3,3] (unused in v1 — geometric normals),
+    mask [N] bool, diffuse [N,3], emissive [N,3] (radiance),
+    c2w [4,4], fov_rad scalar.  Returns HDR [res, res, 3] f32.
+
+    ``nee=False`` disables next-event estimation (emission collected on
+    every hit — the brute-force estimator, same expectation, higher
+    variance; used by tests to cross-check the NEE estimator).
+    """
+    res = resolution
+    normal, area, light_pdf, light_total = _scene_arrays(
+        tris, mask, diffuse, emissive)
+
+    # primary rays — EXACTLY utils/rays.py's Blender convention
+    # (-Z forward): dirs = [(x-cx)/f, -(y-cy)/f, -1], rotated by c2w
+    key, kj = jax.random.split(key)
+
+    def render_sample(key):
+        k_jit, k_path = jax.random.split(key)
+        jx = jax.random.uniform(k_jit, (res, res, 2))
+        ii = (jnp.arange(res, dtype=jnp.float32)[:, None]
+              + jx[..., 0]) / res * 2.0 - 1.0      # y in [-1, 1)
+        jj = (jnp.arange(res, dtype=jnp.float32)[None, :]
+              + jx[..., 1]) / res * 2.0 - 1.0      # x
+        tanh = jnp.tan(fov_rad / 2.0)
+        dirs = jnp.stack(
+            [jj * tanh, -ii * tanh, -jnp.ones_like(ii)], axis=-1)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        rays_d = jnp.einsum('ij,hwj->hwi', c2w[:3, :3], dirs).reshape(-1, 3)
+        rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+
+        r = rays_d.shape[0]
+        radiance = jnp.zeros((r, 3))
+        throughput = jnp.ones((r, 3))
+        alive = jnp.ones((r,), bool)
+        o, d = rays_o, rays_d
+        include_emission = jnp.ones((r,), bool)  # primary hits only
+
+        def bounce(carry, kd):
+            o, d, radiance, throughput, alive, include_emission = carry
+            t, idx, hit = intersect(o, d, tris, mask, chunk)
+            hit = hit & alive
+            p = o + t[:, None] * jnp.where(hit[:, None], d, 0.0)
+            n_g = normal[idx]
+            # face the incoming ray
+            n_g = jnp.where(
+                (jnp.sum(n_g * d, axis=-1) > 0)[:, None], -n_g, n_g)
+            alb = diffuse[idx]
+            emis = emissive[idx]
+
+            # emission on primary (or pure-specular-chain) hits
+            radiance = radiance + jnp.where(
+                (hit & include_emission)[:, None],
+                throughput * emis, 0.0)
+
+            k_light, k_uv, k_dir, kd2 = jax.random.split(kd, 4)
+            if nee:
+                # --- next-event estimation over emissive triangles ---
+                li = jax.random.categorical(
+                    k_light, jnp.log(jnp.maximum(light_pdf, 1e-30)),
+                    shape=(r,))
+                u12 = jax.random.uniform(k_uv, (r, 2))
+                su = jnp.sqrt(u12[:, 0])
+                b0 = 1.0 - su
+                b1 = u12[:, 1] * su
+                lp = (tris[li, 0] * b0[:, None] + tris[li, 1] * b1[:, None]
+                      + tris[li, 2] * (1.0 - b0 - b1)[:, None])
+                ln = normal[li]
+                wi = lp - p
+                dist = jnp.linalg.norm(wi, axis=-1)
+                wi = wi / jnp.maximum(dist, EPS)[:, None]
+                cos_s = jnp.sum(n_g * wi, axis=-1)
+                cos_l = jnp.abs(jnp.sum(ln * wi, axis=-1))
+                # pdf of the sampled point: light_pdf[li] / area[li]
+                pdf_a = light_pdf[li] / jnp.maximum(area[li], EPS)
+                geom = cos_s * cos_l / jnp.maximum(dist * dist, EPS)
+                nee_valid = (hit & (cos_s > 0) & (pdf_a > 0)
+                             & (jnp.sum(emissive[li], axis=-1) > 0))
+                shadow_o = p + n_g * 1e-3
+                shad = occluded(shadow_o, wi, dist - 2e-3, tris, mask,
+                                chunk)
+                contrib = (throughput * alb / jnp.pi * emissive[li]
+                           * (geom / jnp.maximum(pdf_a, EPS))[:, None])
+                radiance = radiance + jnp.where(
+                    (nee_valid & ~shad)[:, None], contrib, 0.0)
+
+            # --- continue the path: cosine-weighted diffuse bounce ---
+            new_d = _cosine_sample(k_dir, n_g)
+            new_o = p + n_g * 1e-3
+            throughput = throughput * jnp.where(hit[:, None], alb, 0.0)
+            alive = hit & (jnp.max(throughput, axis=-1) > 1e-4)
+            if nee:
+                # after a diffuse bounce, direct light comes from NEE
+                include_emission = jnp.zeros_like(include_emission)
+            return (new_o, new_d, radiance, throughput, alive,
+                    include_emission), None
+
+        keys = jax.random.split(k_path, max_depth)
+        (o, d, radiance, throughput, alive, _), _ = jax.lax.scan(
+            bounce, (o, d, radiance, throughput, alive, include_emission),
+            keys)
+        return radiance.reshape(res, res, 3)
+
+    def spp_body(carry, key):
+        acc, i = carry
+        s = render_sample(key)
+        return (acc + (s - acc) / (i + 1.0), i + 1.0), None
+
+    keys = jax.random.split(kj, spp)
+    (img, _), _ = jax.lax.scan(
+        spp_body, (jnp.zeros((res, res, 3)), jnp.array(0.0)), keys)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Scene-level convenience (H5 contract)
+# ---------------------------------------------------------------------------
+
+def texture_to_materials(texture, patch_mask: Optional[np.ndarray] = None):
+    """Per-face constant materials from 13-channel patches [N,13,ps,ps]:
+    mean over the valid (lower-triangle, x+y<=ps) texel region.
+    Returns (diffuse [N,3], emissive [N,3])."""
+    tex = jnp.asarray(texture)
+    ps = tex.shape[-1]
+    if patch_mask is None:
+        ii = np.arange(ps)
+        patch_mask = (ii[:, None] + ii[None, :]) <= ps
+    m = jnp.asarray(patch_mask, tex.dtype)
+    denom = jnp.maximum(m.sum(), 1.0)
+    means = (tex * m).sum(axis=(-1, -2)) / denom       # [N, 13]
+    return means[:, 0:3], means[:, 10:13]
+
+
+def render_scene_pathtrace(scene: dict, view: int = 0,
+                           resolution: int = 256, spp: int = 64,
+                           max_depth: int = 3, seed: int = 0):
+    """Path-trace one view of a loaded H5 scene dict
+    (io/h5.load_scene_h5 layout).  Returns HDR [res, res, 3] numpy."""
+    diffuse, emissive = texture_to_materials(scene['texture'])
+    fov = np.deg2rad(np.asarray(scene['fov']).reshape(-1)[view])
+    img = path_trace(
+        jnp.asarray(scene['triangles'], jnp.float32),
+        jnp.asarray(scene['vn'], jnp.float32),
+        jnp.asarray(scene['mask'], bool),
+        diffuse.astype(jnp.float32), emissive.astype(jnp.float32),
+        jnp.asarray(scene['c2w'][view], jnp.float32),
+        jnp.float32(fov), jax.random.key(seed),
+        resolution=resolution, spp=spp, max_depth=max_depth)
+    return np.asarray(img)

@@ -335,6 +335,9 @@ def main(argv=None):
                     help='local checkpoint dir for gt_mode=model')
     ap.add_argument('--gt_spp', type=int, default=64,
                     help='samples per pixel (gt_mode=pathtrace)')
+    ap.add_argument('--gt_seed', type=int, default=0,
+                    help='weight-init seed for gt_mode=model / RNG '
+                         'seed for gt_mode=pathtrace')
     ap.add_argument('--seed', type=int, default=None,
                     help='scene randomization seed')
     args = ap.parse_args(argv)
@@ -352,6 +355,7 @@ def main(argv=None):
     CONFIG['GT_PRESET'] = args.gt_preset
     CONFIG['GT_CHECKPOINT'] = args.gt_checkpoint
     CONFIG['GT_SPP'] = args.gt_spp
+    CONFIG['GT_SEED'] = args.gt_seed
     if args.seed is not None:
         random.seed(args.seed)
         CONFIG['GT_SEED'] = args.seed

@@ -98,6 +98,12 @@ def main():
     parser.add_argument('--view', type=int, default=0)
     parser.add_argument('--resolution', type=int, default=256)
     parser.add_argument('--output', type=str, default=None)
+    parser.add_argument('--pathtrace', action='store_true',
+                        help='physically-based reference render with the '
+                             'TPU-native path tracer instead of the flat '
+                             'rasterizer (scene/path_tracer.py)')
+    parser.add_argument('--spp', type=int, default=64,
+                        help='path-tracer samples per pixel')
     args = parser.parse_args()
 
     from renderformer_tpu.io.h5 import load_scene_h5
@@ -106,10 +112,18 @@ def main():
     data = load_scene_h5(args.h5_file)
     inspect(data)
 
-    img = debug_render(data, args.view, args.resolution)
-    out = args.output or os.path.splitext(args.h5_file)[0] + '_debug.png'
+    if args.pathtrace:
+        from renderformer_tpu.scene.path_tracer import render_scene_pathtrace
+        img = np.clip(render_scene_pathtrace(
+            data, view=args.view, resolution=args.resolution,
+            spp=args.spp), 0, 1)
+        suffix = '_pathtrace.png'
+    else:
+        img = debug_render(data, args.view, args.resolution)
+        suffix = '_debug.png'
+    out = args.output or os.path.splitext(args.h5_file)[0] + suffix
     write_png(out, (img * 255).astype(np.uint8))
-    print(f'debug render -> {out}')
+    print(f'{"path-traced" if args.pathtrace else "debug"} render -> {out}')
 
 
 if __name__ == '__main__':

@@ -31,7 +31,7 @@ _DTYPES = {
 def render_fn(params, triangles, texture, mask, vn, c2w, fov, *,
               model: RenderFormer, resolution: int,
               dtype, view_dtype, impl: str, dropout_rng=None,
-              output_dtype=None):
+              output_dtype=None, texture_encoded: bool = False):
     """Pure jittable render step.
 
     triangles [bs, N, 3, 3], texture [bs, N, C, ps, ps], mask [bs, N] bool,
@@ -43,7 +43,7 @@ def render_fn(params, triangles, texture, mask, vn, c2w, fov, *,
 
     if cfg.texture_encode_patch_size == 1 and texture.ndim == 5:
         texture = texture[:, :, :, 0, 0]
-    if not cfg.use_ldr:
+    if not cfg.use_ldr and not texture_encoded:
         texture = hdr_encode_texture(texture)
 
     if cfg.turn_to_cam_coord:
@@ -310,9 +310,16 @@ class RenderingPipeline:
             base = functools.partial(
                 render_fn, model=self.model, resolution=resolution,
                 dtype=dtype, view_dtype=view_dtype, impl=impl,
-                output_dtype=out_dt)
+                output_dtype=out_dt, texture_encoded=True)
+            use_ldr = self.config.use_ldr
 
             def many(params, tris, tex, msk, vns, c2w_k, fov_k):
+                # texture HDR-encode hoisted out of the scan: it is
+                # camera-independent and would otherwise re-run per chunk
+                if not use_ldr:
+                    from renderformer_tpu.utils.hdr import hdr_encode_texture
+                    tex = hdr_encode_texture(tex)
+
                 def body(_, cam):
                     c2w, fov = cam
                     return None, base(params, tris, tex, msk, vns, c2w, fov)

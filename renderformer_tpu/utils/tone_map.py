@@ -90,9 +90,9 @@ def tonemap_filmic(hdr: np.ndarray) -> np.ndarray:
     a smoothstep stand-in for the Base Contrast 1D LUT (the LUT itself is
     Blender data we do not ship).  Contract tested in
     tests/test_tone_map.py: monotone, 0 -> 0, +4.03 EV -> 1, mid grey
-    lands at smoothstep(0.7557) = 0.838 display (the true LUT gives
-    ~0.8 at base contrast) — a preview-quality approximation, flagged as
-    such."""
+    lands at smoothstep(0.7560) = 0.850 display (the true LUT gives
+    ~0.8 at base contrast; delta quantified in docs/tone_mapping.md) —
+    a preview-quality approximation, flagged as such."""
     x = np.maximum(np.asarray(hdr, np.float64), 0.0)
     log = np.log2(np.maximum(x, 1e-10) / 0.18)
     t = np.clip((log + 12.473931188) / 16.5, 0.0, 1.0)

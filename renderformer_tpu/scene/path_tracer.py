@@ -40,32 +40,44 @@ EPS = 1e-6
 # Intersection
 # ---------------------------------------------------------------------------
 
-def _mt_chunk(rays_o, rays_d, v0, e1, e2, valid):
-    """Möller-Trumbore for one triangle chunk.
+def _mt_chunk(rays_o, rays_d, wo, tri_pre, valid):
+    """Möller-Trumbore for one triangle chunk, determinant form.
 
-    rays_o/rays_d [R, 3]; v0/e1/e2 [C, 3]; valid [C].
-    Returns t [R, C] (+inf where missed), u, v barycentrics.
+    Every [R, C] term is a [R, 3] @ [3, C] matmul against PRECOMPUTED
+    per-triangle vectors — no [R, C, 3] cross-product intermediates
+    (the naive form moved 3x the bytes and ran on VPU cross products;
+    this form is a handful of thin matmuls + one fused elementwise
+    epilogue):
+
+        a     = det[e1, d, e2]        = -(d @ n2)      n2 = e1 x e2
+        t_num = det[s, e1, e2]        = o @ n2 - c0    c0 = v0 . n2
+        u_num = det[s, d, e2]         = wo @ e2 - d @ m2,  m2 = e2 x v0
+        v_num = det[d, s, e1]         = d @ m1 - wo @ e1,  m1 = e1 x v0
+    with s = o - v0 and the per-ray vector wo = o x d.
+
+    rays_o/rays_d/wo [R, 3]; tri_pre = (e1T, e2T, n2T, m1T, m2T, c0)
+    with *T [3, C] and c0 [C]; valid [C].  Returns t [R, C] (+inf where
+    missed).
     """
-    h = jnp.cross(rays_d[:, None, :], e2[None, :, :])        # [R, C, 3]
-    a = jnp.einsum('cj,rcj->rc', e1, h)                      # [R, C]
-    f = jnp.where(jnp.abs(a) > EPS, 1.0 / jnp.where(jnp.abs(a) > EPS, a, 1.0), 0.0)
-    s = rays_o[:, None, :] - v0[None, :, :]                  # [R, C, 3]
-    u = f * jnp.einsum('rcj,rcj->rc', s, h)
-    q = jnp.cross(s, e1[None, :, :])                         # [R, C, 3]
-    v = f * jnp.einsum('rj,rcj->rc', rays_d, q)
-    t = f * jnp.einsum('cj,rcj->rc', e2, q)
+    e1t, e2t, n2t, m1t, m2t, c0 = tri_pre
+    a = -(rays_d @ n2t)                                      # [R, C]
+    t_num = rays_o @ n2t - c0[None, :]
+    u_num = wo @ e2t - rays_d @ m2t
+    v_num = rays_d @ m1t - wo @ e1t
+    inv = jnp.where(jnp.abs(a) > EPS,
+                    1.0 / jnp.where(jnp.abs(a) > EPS, a, 1.0), 0.0)
+    t = t_num * inv
+    u = u_num * inv
+    v = v_num * inv
     ok = ((jnp.abs(a) > EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
           & (t > 1e-4) & valid[None, :])
-    return jnp.where(ok, t, jnp.inf), u, v
+    return jnp.where(ok, t, jnp.inf)
 
 
-def intersect(rays_o, rays_d, tris, mask, chunk: int = 512):
-    """Nearest hit of each ray against the triangle soup.
-
-    rays_o/rays_d [R, 3]; tris [N, 3, 3]; mask [N] bool.
-    Returns (t [R], tri_idx [R] int32, hit [R] bool).  Chunked over
-    triangles through a lax.scan so peak memory is [R, chunk, 3].
-    """
+def _tri_precompute(tris, mask, chunk: int):
+    """Pad the soup to a chunk multiple and precompute the transposed
+    per-triangle vectors the determinant-form MT consumes.  Returns
+    (xs, nc) ready for lax.scan over chunks."""
     n = tris.shape[0]
     pad = (-n) % chunk
     if pad:
@@ -76,29 +88,54 @@ def intersect(rays_o, rays_d, tris, mask, chunk: int = 512):
     v0 = tris[:, 0]
     e1 = tris[:, 1] - tris[:, 0]
     e2 = tris[:, 2] - tris[:, 0]
+    n2 = jnp.cross(e1, e2)
+    m1 = jnp.cross(e1, v0)
+    m2 = jnp.cross(e2, v0)
+    c0 = jnp.sum(v0 * n2, axis=-1)
+
+    def chunked_t(x):   # [NC*chunk, 3] -> [nc, 3, chunk]
+        return x.reshape(nc, chunk, 3).transpose(0, 2, 1)
+
+    xs = (chunked_t(e1), chunked_t(e2), chunked_t(n2), chunked_t(m1),
+          chunked_t(m2), c0.reshape(nc, chunk), mask.reshape(nc, chunk),
+          jnp.arange(nc, dtype=jnp.int32) * chunk)
+    return xs, nc
+
+
+def intersect(rays_o, rays_d, tris, mask, chunk: int = 512, pre=None):
+    """Nearest hit of each ray against the triangle soup.
+
+    rays_o/rays_d [R, 3]; tris [N, 3, 3]; mask [N] bool.
+    Returns (t [R], tri_idx [R] int32, hit [R] bool).  Chunked over
+    triangles through a lax.scan so peak memory is [R, chunk].
+    ``pre`` (from _tri_precompute) reuses the per-triangle vectors
+    across bounces/samples.
+    """
+    if pre is None:
+        pre, _ = _tri_precompute(tris, mask, chunk)
+    wo = jnp.cross(rays_o, rays_d)
 
     def body(carry, xs):
         best_t, best_i = carry
-        cv0, ce1, ce2, cvalid, base = xs
-        t, _, _ = _mt_chunk(rays_o, rays_d, cv0, ce1, ce2, cvalid)
+        e1t, e2t, n2t, m1t, m2t, c0, cvalid, base = xs
+        t = _mt_chunk(rays_o, rays_d, wo,
+                      (e1t, e2t, n2t, m1t, m2t, c0), cvalid)
         tmin = jnp.min(t, axis=1)
         imin = jnp.argmin(t, axis=1).astype(jnp.int32) + base
         better = tmin < best_t
         return (jnp.where(better, tmin, best_t),
                 jnp.where(better, imin, best_i)), None
 
-    xs = (v0.reshape(nc, chunk, 3), e1.reshape(nc, chunk, 3),
-          e2.reshape(nc, chunk, 3), mask.reshape(nc, chunk),
-          jnp.arange(nc, dtype=jnp.int32) * chunk)
     (t, idx), _ = jax.lax.scan(
         body, (jnp.full(rays_o.shape[:1], jnp.inf),
-               jnp.zeros(rays_o.shape[:1], jnp.int32)), xs)
+               jnp.zeros(rays_o.shape[:1], jnp.int32)), pre)
     return t, idx, jnp.isfinite(t)
 
 
-def occluded(rays_o, rays_d, max_t, tris, mask, chunk: int = 512):
+def occluded(rays_o, rays_d, max_t, tris, mask, chunk: int = 512,
+             pre=None):
     """True where the segment [o, o + max_t*d) hits any triangle."""
-    t, _, hit = intersect(rays_o, rays_d, tris, mask, chunk)
+    t, _, hit = intersect(rays_o, rays_d, tris, mask, chunk, pre=pre)
     return hit & (t < max_t * (1.0 - 1e-3))
 
 
@@ -168,6 +205,7 @@ def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
     res = resolution
     normal, area, light_pdf, light_total = _scene_arrays(
         tris, mask, diffuse, emissive)
+    pre, _ = _tri_precompute(tris, mask, chunk)  # shared by all rays
 
     # primary rays — EXACTLY utils/rays.py's Blender convention
     # (-Z forward): dirs = [(x-cx)/f, -(y-cy)/f, -1], rotated by c2w
@@ -196,7 +234,7 @@ def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
 
         def bounce(carry, kd):
             o, d, radiance, throughput, alive, include_emission = carry
-            t, idx, hit = intersect(o, d, tris, mask, chunk)
+            t, idx, hit = intersect(o, d, tris, mask, chunk, pre=pre)
             hit = hit & alive
             p = o + t[:, None] * jnp.where(hit[:, None], d, 0.0)
             n_g = normal[idx]
@@ -236,7 +274,7 @@ def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
                              & (jnp.sum(emissive[li], axis=-1) > 0))
                 shadow_o = p + n_g * 1e-3
                 shad = occluded(shadow_o, wi, dist - 2e-3, tris, mask,
-                                chunk)
+                                chunk, pre=pre)
                 contrib = (throughput * alb / jnp.pi * emissive[li]
                            * (geom / jnp.maximum(pdf_a, EPS))[:, None])
                 radiance = radiance + jnp.where(

@@ -248,8 +248,15 @@ class SceneGenerator:
             from renderformer_tpu.scene.path_tracer import (
                 render_scene_pathtrace)
             spp = int(self.config.get('GT_SPP', 64))
+            # one shared padding bucket -> one compile for the whole set
+            import h5py
+            counts = []
             for f in h5_files:
-                data = load_scene_h5(f)
+                with h5py.File(f, 'r') as h:
+                    counts.append(h['triangles'].shape[0])
+            bucket = int(-(-max(counts) // 512) * 512)
+            for f in h5_files:
+                data = load_scene_h5(f, padding_length=bucket)
                 img = render_scene_pathtrace(
                     data, view=0, resolution=res, spp=spp,
                     seed=int(self.config.get('GT_SEED', 0)))

@@ -257,9 +257,11 @@ class SceneGenerator:
             bucket = int(-(-max(counts) // 512) * 512)
             for f in h5_files:
                 data = load_scene_h5(f, padding_length=bucket)
+                # clamp=10: firefly suppression for LDR-clipped GT
+                # (slightly biased; raw HDR users call path_trace direct)
                 img = render_scene_pathtrace(
                     data, view=0, resolution=res, spp=spp,
-                    seed=int(self.config.get('GT_SEED', 0)))
+                    seed=int(self.config.get('GT_SEED', 0)), clamp=10.0)
                 name = Path(f).stem
                 imageio.v3.imwrite(
                     str(self.gt_path / f'{name}.png'),

@@ -188,10 +188,12 @@ def _scene_arrays(tris, mask, diffuse, emissive):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('resolution', 'spp', 'max_depth', 'chunk', 'nee'))
+    static_argnames=('resolution', 'spp', 'max_depth', 'chunk', 'nee',
+                     'clamp'))
 def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
                resolution: int = 256, spp: int = 64, max_depth: int = 3,
-               chunk: int = 512, nee: bool = True):
+               chunk: int = 512, nee: bool = True,
+               clamp: float = 0.0):
     """Render one view with path tracing on the accelerator.
 
     tris [N,3,3] f32, vn [N,3,3] (unused in v1 — geometric normals),
@@ -201,6 +203,10 @@ def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
     ``nee=False`` disables next-event estimation (emission collected on
     every hit — the brute-force estimator, same expectation, higher
     variance; used by tests to cross-check the NEE estimator).
+
+    ``clamp`` > 0 clips each NEE light-sample contribution elementwise
+    (firefly suppression — the standard slightly-biased radiance clamp;
+    0 keeps the estimator unbiased).
     """
     res = resolution
     normal, area, light_pdf, light_total = _scene_arrays(
@@ -277,6 +283,8 @@ def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
                                 chunk, pre=pre)
                 contrib = (throughput * alb / jnp.pi * emissive[li]
                            * (geom / jnp.maximum(pdf_a, EPS))[:, None])
+                if clamp > 0.0:
+                    contrib = jnp.minimum(contrib, clamp)
                 radiance = radiance + jnp.where(
                     (nee_valid & ~shad)[:, None], contrib, 0.0)
 
@@ -329,7 +337,8 @@ def texture_to_materials(texture, patch_mask: Optional[np.ndarray] = None):
 
 def render_scene_pathtrace(scene: dict, view: int = 0,
                            resolution: int = 256, spp: int = 64,
-                           max_depth: int = 3, seed: int = 0):
+                           max_depth: int = 3, seed: int = 0,
+                           clamp: float = 0.0):
     """Path-trace one view of a loaded H5 scene dict
     (io/h5.load_scene_h5 layout).  Returns HDR [res, res, 3] numpy."""
     diffuse, emissive = texture_to_materials(scene['texture'])
@@ -341,5 +350,5 @@ def render_scene_pathtrace(scene: dict, view: int = 0,
         diffuse.astype(jnp.float32), emissive.astype(jnp.float32),
         jnp.asarray(scene['c2w'][view], jnp.float32),
         jnp.float32(fov), jax.random.key(seed),
-        resolution=resolution, spp=spp, max_depth=max_depth)
+        resolution=resolution, spp=spp, max_depth=max_depth, clamp=clamp)
     return np.asarray(img)

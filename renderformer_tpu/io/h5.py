@@ -17,12 +17,17 @@ import h5py
 import numpy as np
 
 
-def load_scene_h5(file_path: str, padding_length: Optional[int] = None) -> Dict[str, np.ndarray]:
+def load_scene_h5(file_path: str, padding_length: Optional[int] = None,
+                  texture_dtype=np.float32) -> Dict[str, np.ndarray]:
     """Load one scene; optionally zero-pad triangles to ``padding_length``
-    with a validity mask (batch_infer.py:37-47)."""
+    with a validity mask (batch_infer.py:37-47).
+
+    ``texture_dtype=np.float16`` keeps the texture in its on-disk H5
+    dtype (to_h5.py stores f16) — LOSSLESS, and halves the bytes a
+    training batch ships host->device (the padded texture dominates)."""
     with h5py.File(file_path, 'r') as f:
         triangles = np.asarray(f['triangles'], dtype=np.float32)
-        texture = np.asarray(f['texture'], dtype=np.float32)
+        texture = np.asarray(f['texture'], dtype=texture_dtype)
         vn = np.asarray(f['vn'], dtype=np.float32)
         c2w = np.asarray(f['c2w'], dtype=np.float32)
         fov = np.asarray(f['fov'], dtype=np.float32)
@@ -36,7 +41,7 @@ def load_scene_h5(file_path: str, padding_length: Optional[int] = None) -> Dict[
         triangles = np.concatenate(
             [triangles, np.zeros((pad,) + triangles.shape[1:], np.float32)])
         texture = np.concatenate(
-            [texture, np.zeros((pad,) + texture.shape[1:], np.float32)])
+            [texture, np.zeros((pad,) + texture.shape[1:], texture.dtype)])
         vn = np.concatenate([vn, np.zeros((pad,) + vn.shape[1:], np.float32)])
         mask = np.zeros(padding_length, dtype=bool)
         mask[:num_tris] = True

@@ -43,6 +43,12 @@ def render_fn(params, triangles, texture, mask, vn, c2w, fov, *,
 
     if cfg.texture_encode_patch_size == 1 and texture.ndim == 5:
         texture = texture[:, :, :, 0, 0]
+    # texture may arrive as float16 — the H5 on-disk dtype, shipped raw to
+    # halve host->device bytes (the padded texture dominates batch upload:
+    # ~218 MB fp32 at a 4096-triangle bucket).  The HDR log encode must
+    # not run in f16; cast on device first.
+    if texture.dtype != jnp.float32:
+        texture = texture.astype(jnp.float32)
     if not cfg.use_ldr and not texture_encoded:
         texture = hdr_encode_texture(texture)
 

@@ -75,7 +75,10 @@ class RenderFormerDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         h5_file = self.h5_files[idx]
-        data = load_scene_h5(h5_file, self.padding_length)
+        # texture stays in its on-disk f16 (lossless): halves the bytes
+        # of the dominant batch tensor; the render step casts on device
+        data = load_scene_h5(h5_file, self.padding_length,
+                             texture_dtype=np.float16)
         base = os.path.splitext(os.path.basename(h5_file))[0]
         nv = data['c2w'].shape[0]
 

@@ -19,7 +19,7 @@ from renderformer_tpu.models.renderformer import RenderFormer
 from renderformer_tpu.training.state import (
     TrainConfig, TrainState, make_optimizer, make_train_step)
 
-res, n, v, bs = 256, 2048, 1, 1
+res, n, v, bs = 256, int(os.environ.get('RFTPU_BENCH_TRIS', '2048')), 1, 1
 remat = os.environ.get('RFTPU_BENCH_REMAT', '0') == '1'
 
 model = RenderFormer(V1_BASE)

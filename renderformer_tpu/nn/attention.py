@@ -384,14 +384,18 @@ def _roll_windowed_axis(x6, wdim: int, idim: int, s: int, ws: int):
         out[.., w, .., i, ..] = x[row w*ws + i + s]  (mod H)
     """
     lead = x6[(slice(None),) * idim + (slice(s, ws),)]
-    wrap = jnp.roll(x6, -1, axis=wdim)[(slice(None),) * idim + (slice(0, s),)]
+    # roll AFTER slicing (they commute: wdim != idim) — rolling the full
+    # tensor materialized a copy of all rows only to keep s of ws; the
+    # swin-large HEAD profile showed ~20 ms/step of regroup copies
+    wrap = jnp.roll(x6[(slice(None),) * idim + (slice(0, s),)], -1,
+                    axis=wdim)
     return jnp.concatenate([lead, wrap], axis=idim)
 
 
 def _unroll_windowed_axis(x6, wdim: int, idim: int, s: int, ws: int):
     """Inverse of :func:`_roll_windowed_axis` (roll by +s)."""
-    lead = jnp.roll(x6, 1, axis=wdim)[
-        (slice(None),) * idim + (slice(ws - s, ws),)]
+    lead = jnp.roll(x6[(slice(None),) * idim + (slice(ws - s, ws),)], 1,
+                    axis=wdim)
     rest = x6[(slice(None),) * idim + (slice(0, ws - s),)]
     return jnp.concatenate([lead, rest], axis=idim)
 

@@ -112,10 +112,11 @@ def attend(q, k, v, mask=None, impl: str = 'xla'):
     """Dispatch to the configured attention backend.
 
     The flash kernel handles key-padding masks ([B, Sk] or [B, 1, 1, Sk]);
-    full [q, k] masks (Swin shifted windows) stay on the XLA path, and so
-    do short sequences (Swin unshifted windows are 64 tokens: the flash
-    kernel pads them to a 128-row block — measured 2.23 ms vs 1.45 ms per
-    483M swin layer for XLA's batched attention on v5e)."""
+    full [q, k] masks and short sequences stay on the XLA path (the
+    generic kernel pads 64-token windows to 128-row blocks — measured
+    slower than XLA here).  Swin windows do NOT route through this
+    dispatcher: SwinSelfAttention._windowed_attend calls the dedicated
+    pair-window kernel (ops/swin_attention.py) on the flash backend."""
     if impl == 'flash' and q.shape[1] >= 256 and not (
             mask is not None and mask.ndim == 4 and mask.shape[2] != 1):
         from renderformer_tpu.ops.flash_attention import flash_attention

@@ -97,3 +97,32 @@ def test_generate_model_gt(tmp_path):
     for g in gts:
         img = imageio.v3.imread(g)
         assert img.shape[:2] == (32, 32)
+
+
+def test_generate_pathtrace_gt(tmp_path):
+    """gt_mode=pathtrace: GT rendered by the TPU-native path tracer —
+    the physically-based in-framework GT source (round 4)."""
+    sys.path.insert(0, REPO)
+    import generate_dataset as gd
+    cwd = os.getcwd()
+    os.chdir(REPO)
+    try:
+        rc = gd.main([
+            '--data_path', str(tmp_path / 'ds'),
+            '--obj_path', os.path.join(REPO, 'examples', 'objects', 'cbox'),
+            '--num_scenes', '2',
+            '--gt_mode', 'pathtrace',
+            '--gt_resolution', '32',
+            '--gt_spp', '4',
+            '--seed', '13',
+        ])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    gts = glob.glob(os.path.join(str(tmp_path / 'ds'), 'gt', '*.png'))
+    assert len(gts) == 2
+    import imageio
+    for g in gts:
+        img = imageio.v3.imread(g)
+        assert img.shape[:2] == (32, 32)
+        assert img.max() > 0  # light transport produced something

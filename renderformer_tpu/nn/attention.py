@@ -512,8 +512,26 @@ class SwinSelfAttention:
         if x.ndim == 3:
             b, s, c = x.shape
             h, w = grid
+            use_rk = False
             if self.shift_size > 0:
-                x = shifted_regroup(x, h, w, ws, self.shift_size)
+                # Scalar-prefetch regroup kernel on the flash backend
+                # (ops/shifted_regroup.py): the XLA slice/roll/concat
+                # chains cost ~20 ms/step at 483M/512^2 — 10x the HBM
+                # traffic the permutation needs.  RFTPU_REGROUP_KERNEL=0
+                # opts out (trace-time toggle, in the jit cache keys).
+                import os
+                from renderformer_tpu.ops.shifted_regroup import (
+                    regroup_kernel_applicable, shifted_regroup_kernel)
+                use_rk = (
+                    impl == 'flash'
+                    and os.environ.get('RFTPU_REGROUP_KERNEL', '1') != '0'
+                    and regroup_kernel_applicable(s, grid, ws,
+                                                  self.shift_size))
+                if use_rk:
+                    interp = jax.devices()[0].platform != 'tpu'
+                    x = shifted_regroup_kernel(x, (h, w), ws, False, interp)
+                else:
+                    x = shifted_regroup(x, h, w, ws, self.shift_size)
                 mask = jnp.asarray(swin_attn_mask(h, w, ws, self.shift_size))
                 attn_mask = jnp.tile(mask, (b, 1, 1))[:, None]
             else:
@@ -523,8 +541,12 @@ class SwinSelfAttention:
                 attn_mask, impl, grid_hw=(h, w))
             out = out.reshape(b, s, c)
             if self.shift_size > 0:
-                out = shifted_regroup(out, h, w, ws, self.shift_size,
-                                      inverse=True)
+                if use_rk:
+                    out = shifted_regroup_kernel(out, (h, w), ws, True,
+                                                 interp)
+                else:
+                    out = shifted_regroup(out, h, w, ws, self.shift_size,
+                                          inverse=True)
             return out
 
         b, h, w, c = x.shape

@@ -261,17 +261,14 @@ class MultiHeadAttention:
         q = q.reshape(bs, sq, self.num_heads, -1)
         k = k.reshape(bs_kv, sk, self.num_heads, -1)
         v = v.reshape(bs_kv, sk, self.num_heads, -1)
-        if bs_kv != bs:
+        def bcast_kv(x):
             # per-view fan-out AFTER the shared projections; view-major
             # ordering matches the q fan-out in models/renderformer.py
             # (broadcast_to(seq[:, None], (b, v, ...)).reshape(b*v, ...))
             reps = bs // bs_kv
-            hd = k.shape[-1]
-            k = jnp.broadcast_to(
-                k[:, None], (bs_kv, reps, sk, self.num_heads, hd)
-            ).reshape(bs, sk, self.num_heads, hd)
-            v = jnp.broadcast_to(
-                v[:, None], (bs_kv, reps, sk, self.num_heads, hd)
+            hd = x.shape[-1]
+            return jnp.broadcast_to(
+                x[:, None], (bs_kv, reps, sk, self.num_heads, hd)
             ).reshape(bs, sk, self.num_heads, hd)
 
         attn_mask = None
@@ -280,6 +277,8 @@ class MultiHeadAttention:
 
         ring_mesh = _ring_mesh_for(bs, sq, sk)
         if ring_mesh is not None:
+            if bs_kv != bs:
+                k, v = bcast_kv(k), bcast_kv(v)
             # sequence-parallel ring attention (sp_mode='ring'): rotate
             # q/k with RoPE first — a token's rotation travels with it —
             # then run the ring over the mesh's seq axis.
@@ -301,7 +300,10 @@ class MultiHeadAttention:
         if (rope_cos is not None and impl == 'flash'
                 and _fuse_rope_enabled()):
             # fp32 rotation fused into the kernel prologue — skips the
-            # rotate-half HBM round trips
+            # rotate-half HBM round trips.  k/v stay at the per-scene
+            # batch: the kernel broadcast-rotates K (per-view tables,
+            # per-scene rows) and replays per-scene V via its index map,
+            # so the view fan-out never materializes in HBM.
             from renderformer_tpu.ops.flash_attention import (
                 flash_attention_rope)
             ck = rope_ctx_cos if rope_ctx_cos is not None else rope_cos
@@ -312,6 +314,8 @@ class MultiHeadAttention:
             out = out.reshape(bs, sq, -1)
             return dense(params['out_proj'], out).astype(out_dtype)
 
+        if bs_kv != bs:
+            k, v = bcast_kv(k), bcast_kv(v)
         if rope_cos is not None:
             q = apply_rope(q, rope_cos, rope_sin)
             if rope_ctx_cos is None:
@@ -468,7 +472,23 @@ class SwinSelfAttention:
         cache keys via config.trace_env_flags)."""
         c = xw.shape[-1]
         s = self.window_size * self.window_size
-        q, k, v = jnp.split(dense(params['in_proj'], xw), 3, axis=-1)
+        if _split_qkv_enabled():
+            # three dots from a sliced kernel — the packed dot's
+            # minor-dim split makes XLA pick a transposed {2,0,1} output
+            # layout and insert a 0.21 ms copy per layer back to
+            # row-major for the pair-window custom call (same fix as
+            # MultiHeadAttention, round 3)
+            w = params['in_proj']['kernel']
+            b3 = params['in_proj'].get('bias')
+
+            def proj(i):
+                y = xw @ w[:, i * c:(i + 1) * c]
+                if b3 is not None:
+                    y = y + b3[i * c:(i + 1) * c].astype(y.dtype)
+                return y
+            q, k, v = proj(0), proj(1), proj(2)
+        else:
+            q, k, v = jnp.split(dense(params['in_proj'], xw), 3, axis=-1)
         if self.qk_norm:
             q = apply_norm(self.norm_type, params['q_norm'], q, ATTN_EPS).astype(v.dtype)
             k = apply_norm(self.norm_type, params['k_norm'], k, ATTN_EPS).astype(v.dtype)

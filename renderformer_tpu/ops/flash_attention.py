@@ -803,23 +803,51 @@ def _rot_bhsd(x, cos, sin):
     return (x32 * cos[:, :, None, :] + rot * sin[:, :, None, :]).astype(x.dtype)
 
 
-def _rot_flat(x, cos, sin, h: int):
-    """apply_rope on the FLAT [B, S, H*D] layout (head-shared tables).
+def _rot_kv_kernel(k_ref, cos_ref, sin_ref, o_ref):
+    """Broadcast-rotate: per-scene K rows x per-view tables.
 
-    Keeping the fusion root on the flat shape lets XLA fold the layout
-    normalization for the downstream pallas custom call into this pass —
-    the 4-D-rooted variant left an explicit [B, Sk, H*D] copy per
-    call site (~0.07 ms each at the model's shapes)."""
-    b, s, hd = x.shape
-    d = hd // h
-    x32 = x.astype(jnp.float32)
-    x4 = x32.reshape(b, s, h, d)
-    half = d // 2
-    rot = jnp.concatenate([-x4[..., half:], x4[..., :half]],
-                          axis=-1).reshape(b, s, hd)
-    cos_t = jnp.tile(cos, (1, 1, h))
-    sin_t = jnp.tile(sin, (1, 1, h))
-    return (x32 * cos_t + rot * sin_t).astype(x.dtype)
+    k_ref [rows, H, D] (the SCENE's K — the index map replays it for
+    every view), cos/sin [rows, D] fp32 (this view's tables), out
+    [rows, H, D].  Replaces the XLA pre-rotation pass, which
+    materialized the per-scene fp32 rotate-half intermediates broadcast
+    over views (24 standalone [V,Sk,H,D/2] broadcasts, ~2.6 ms/step in
+    the 483M/512^2 profile)."""
+    x = k_ref[...].astype(jnp.float32)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    c = cos_ref[...][:, None, :]
+    s = sin_ref[...][:, None, :]
+    o_ref[...] = (x * c + rot * s).astype(o_ref.dtype)
+
+
+def _rot_kv_broadcast(k1, cos, sin, sk_p: int, interpret: bool):
+    """k1 [Bkv, Sk, H, D] bf16 (Bkv divides B), cos/sin [B, Sk, D] fp32
+    -> rotated flat K [B, sk_p, H*D] (zero-padded rows)."""
+    b = cos.shape[0]
+    bkv, sk, h, d = k1.shape
+    reps = b // bkv
+    if sk != sk_p:
+        k1 = jnp.pad(k1, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        cos = jnp.pad(cos, ((0, 0), (0, sk_p - sk), (0, 0)))
+        sin = jnp.pad(sin, ((0, 0), (0, sk_p - sk), (0, 0)))
+    rows = next(r for r in (1024, 512, 256, 128) if sk_p % r == 0)
+    out = pl.pallas_call(
+        _rot_kv_kernel,
+        grid=(b, sk_p // rows),
+        in_specs=[
+            pl.BlockSpec((None, rows, h, d),
+                         lambda bi, si: (bi // reps, si, 0, 0)),
+            pl.BlockSpec((None, rows, d), lambda bi, si: (bi, si, 0)),
+            pl.BlockSpec((None, rows, d), lambda bi, si: (bi, si, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, rows, h, d),
+                               lambda bi, si: (bi, si, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sk_p, h, d), k1.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel')),
+    )(k1, cos, sin)
+    return out.reshape(b, sk_p, h * d)
 
 
 def _fwd_qrope_kernel(q_ref, k_ref, v_ref, mask_ref, cosq_ref, sinq_ref,
@@ -850,25 +878,31 @@ def _fwd_qrope_kernel_nomask(q_ref, k_ref, v_ref, cosq_ref, sinq_ref,
 def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
                     bq: int, bk: int, interpret: bool,
                     with_lse: bool = False, split: int = 1):
-    """cos/sin: [B, S, D] fp32, shared across heads."""
+    """cos/sin: [B, S, D] fp32, shared across heads.
+
+    k/v may carry a SMALLER batch Bkv dividing B (the per-view fan-out
+    of shared scene K/V): K is broadcast-rotated by the pallas
+    _rot_kv_broadcast pass (per-view tables, per-scene rows) and V is
+    consumed per-scene straight from HBM via the index map — neither
+    the V broadcast nor the fp32 rotate-half intermediates ever
+    materialize per view."""
     b, sq, h, d = q.shape
-    sk = k.shape[1]
+    bkv, sk = k.shape[0], k.shape[1]
+    reps = b // bkv
     sq_p = _round_up(sq, bq)
     sk_p = _round_up(sk, bk)
 
-    # flatten first, rotate/pad on the flat shape (see _flash_fwd /
-    # _rot_flat for why: the flat fusion roots absorb the custom-call
-    # layout normalization)
+    # flatten first, pad on the flat shape (flat fusion roots absorb
+    # the custom-call layout normalization — round-1 note)
     q2 = q.reshape(b, sq, h * d)
-    k2 = _rot_flat(k.reshape(b, sk, h * d), cosk, sink, h)
-    v2 = v.reshape(b, sk, h * d)
+    k2 = _rot_kv_broadcast(k, cosk, sink, sk_p, interpret)
+    v2 = v.reshape(bkv, sk, h * d)
 
     if sq_p != sq:
         q2 = jnp.pad(q2, ((0, 0), (0, sq_p - sq), (0, 0)))
         cosq = jnp.pad(cosq, ((0, 0), (0, sq_p - sq), (0, 0)))
         sinq = jnp.pad(sinq, ((0, 0), (0, sq_p - sq), (0, 0)))
     if sk_p != sk:
-        k2 = jnp.pad(k2, ((0, 0), (0, sk_p - sk), (0, 0)))
         v2 = jnp.pad(v2, ((0, 0), (0, sk_p - sk), (0, 0)))
     has_mask = mask is not None or sk_p != sk
     if has_mask:
@@ -892,6 +926,12 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
                             lambda bi, hi, qi: (bi, 0, hi),
                             memory_space=pltpu.VMEM)
 
+    def fold_full_v():
+        # per-scene V: replay the scene's rows for each of its views
+        return pl.BlockSpec((None, sk_p, d),
+                            lambda bi, hi, qi: (bi // reps, 0, hi),
+                            memory_space=pltpu.VMEM)
+
     def rope_q_spec():
         return pl.BlockSpec((None, bq, d),
                             lambda bi, hi, qi: (bi, qi, 0),
@@ -906,7 +946,7 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
                                       lambda bi, hi, qi: (bi, qi, hi),
                                       memory_space=pltpu.VMEM))
 
-    in_specs = [fold_spec(bq), fold_full_k(), fold_full_k()]
+    in_specs = [fold_spec(bq), fold_full_k(), fold_full_v()]
     operands = [q2, k2, v2]
     if has_mask:
         in_specs.append(pl.BlockSpec((b, sk_p), lambda bi, hi, qi: (0, 0),
@@ -956,16 +996,37 @@ def _flash_rope_vjp_fwd(q, k, v, mask, cosq, sinq, cosk, sink,
     return out, (q, k, v, mask, cosq, sinq, cosk, sink, out, lse)
 
 
+def _bcast_kv(x, reps):
+    """[Bkv, S, H, D] -> [Bkv*reps, S, H, D] (view-major fan-out)."""
+    if reps == 1:
+        return x
+    bkv = x.shape[0]
+    return jnp.broadcast_to(x[:, None], (bkv, reps) + x.shape[1:]
+                            ).reshape((bkv * reps,) + x.shape[1:])
+
+
+def _reduce_kv_grad(dx, reps):
+    """Transpose of _bcast_kv: sum the per-view cotangents per scene."""
+    if reps == 1:
+        return dx
+    b = dx.shape[0]
+    return dx.reshape((b // reps, reps) + dx.shape[1:]).sum(axis=1)
+
+
 def _flash_rope_vjp_bwd(bq, bk, interpret, split, res, g):
     q, k, v, mask, cosq, sinq, cosk, sink, out, lse = res
     # recompute rotated primals, run the standard backward, then rotate
-    # dq/dk back (orthogonal rotation: inverse == negated sin)
+    # dq/dk back (orthogonal rotation: inverse == negated sin).  k/v may
+    # be per-scene (batch Bkv < B): the backward materializes the view
+    # fan-out (training-path cost only) and sums the cotangents back.
+    reps = q.shape[0] // k.shape[0]
     q_rot = _rot_bhsd(q, cosq, sinq)
-    k_rot = _rot_bhsd(k, cosk, sink)
-    dq_rot, dk_rot, dv = _flash_bwd(q_rot, k_rot, v, mask, out, lse, g,
-                                    bq, bk, interpret)
+    k_rot = _rot_bhsd(_bcast_kv(k, reps), cosk, sink)
+    dq_rot, dk_rot, dv = _flash_bwd(q_rot, k_rot, _bcast_kv(v, reps),
+                                    mask, out, lse, g, bq, bk, interpret)
     dq = _rot_bhsd(dq_rot, cosq, -sinq)
-    dk = _rot_bhsd(dk_rot, cosk, -sink)
+    dk = _reduce_kv_grad(_rot_bhsd(dk_rot, cosk, -sink), reps)
+    dv = _reduce_kv_grad(dv, reps)
     zq = jnp.zeros_like(cosq)
     zk = jnp.zeros_like(cosk)
     return dq, dk, dv, None, zq, zq, zk, zk
@@ -990,12 +1051,14 @@ def _flash_rope_nomask_vjp_fwd(q, k, v, cosq, sinq, cosk, sink,
 
 def _flash_rope_nomask_vjp_bwd(bq, bk, interpret, split, res, g):
     q, k, v, cosq, sinq, cosk, sink, out, lse = res
+    reps = q.shape[0] // k.shape[0]
     q_rot = _rot_bhsd(q, cosq, sinq)
-    k_rot = _rot_bhsd(k, cosk, sink)
-    dq_rot, dk_rot, dv = _flash_bwd(q_rot, k_rot, v, None, out, lse, g,
-                                    bq, bk, interpret)
+    k_rot = _rot_bhsd(_bcast_kv(k, reps), cosk, sink)
+    dq_rot, dk_rot, dv = _flash_bwd(q_rot, k_rot, _bcast_kv(v, reps),
+                                    None, out, lse, g, bq, bk, interpret)
     dq = _rot_bhsd(dq_rot, cosq, -sinq)
-    dk = _rot_bhsd(dk_rot, cosk, -sink)
+    dk = _reduce_kv_grad(_rot_bhsd(dk_rot, cosk, -sink), reps)
+    dv = _reduce_kv_grad(dv, reps)
     zq = jnp.zeros_like(cosq)
     zk = jnp.zeros_like(cosk)
     return dq, dk, dv, zq, zq, zk, zk

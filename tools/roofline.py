@@ -34,6 +34,125 @@ CHIP_PEAKS = {
     'v6e': (918.0, 1640.0),
 }
 
+# Measured-on-v5e per-class efficiency ceilings for the ACHIEVABLE bound
+# (VERDICT r4 next #5).  The FLOP-only SOL counts softmax/VPU work and
+# layout passes as free and assumes every FLOP runs at the MXU peak; no
+# real program can reach it.  These ceilings are what each op class
+# achieves IN ISOLATION at the model's shapes on this chip:
+#   dense  0.95 — decoder FFN fusions measure 94-98% of the matmul roof
+#                 (docs/performance.md round-4/5 profiles)
+#   conv   0.74 — XLA conv emitter bound, measured on the composed s2d
+#                 DPT tail (fusion.16: 4.2 ms vs 3.1 ms ideal)
+#   attn   0.95 — flash kernel matmul efficiency at 4096^2 unmasked
+#                 (tools/cross_micro.py); the masked-site shortfall is
+#                 the VPU softmax, priced separately below
+#   vpu_softmax 8.0e11 elem/s — from the measured masked-cross kernel:
+#                 0.7 ms of non-matmul time over 5.7e8 score elements
+#   hbm    0.80 — sustained fraction of peak HBM for streaming passes
+CLASS_EFF = {'dense': 0.95, 'conv': 0.74, 'attn': 0.95}
+VPU_SOFTMAX_ELEM_S = 8.0e11
+HBM_EFF = 0.80
+
+
+def achievable_model(cfg, res: int, views: int, tris: int,
+                     peak_tflops: float, peak_gbs: float) -> dict:
+    """Analytic per-class cost model of one render — the 'achievable'
+    wall: each class of work priced at its measured ceiling instead of
+    the MXU peak.  Component FLOP counts follow the architecture
+    (SURVEY.md §2.2); cross-checked against XLA cost analysis (the
+    report prints both totals)."""
+    d1, h1, f1, l1 = (cfg.latent_dim, cfg.num_heads, cfg.dim_feedforward,
+                      cfg.num_layers)
+    d2 = cfg.view_transformer_latent_dim
+    f2 = cfg.view_transformer_ffn_hidden_dim
+    l2 = cfg.view_transformer_n_layers
+    h2 = cfg.view_transformer_n_heads
+    s1 = tris + cfg.num_register_tokens
+    s2 = (res // cfg.patch_size) ** 2
+    v = views
+    ps = cfg.texture_encode_patch_size
+
+    dense = 0.0
+    # stage 1: token embeds + 12 layers (qkv/out + swiglu ffn)
+    dense += 2 * tris * (13 * ps * ps) * d1           # texture embed
+    dense += 2 * tris * 117 * d1                      # vn nerf embed
+    dense += l1 * s1 * (8 * d1 * d1 + 6 * d1 * f1)
+    # stage 2 per view: patch embed + decoder layers
+    dense += v * 2 * s2 * (3 * cfg.patch_size ** 2) * d2
+    per_layer = (2 * s2 * d2 * d2 * 2        # cross q + out proj
+                 + 2 * s2 * d2 * d2 * 4      # self qkv + out
+                 + 2 * 3 * s2 * d2 * f2)     # swiglu ffn
+    dense += v * l2 * per_layer
+    dense += l2 * 2 * s1 * 2 * d2 * d2       # shared per-scene k/v proj
+    # DPT 1x1 projections of the 4 taps
+    dense += v * 2 * s2 * d2 * sum(cfg.dpt_out_channels)
+
+    # attention matmuls (QK^T + PV)
+    attn = l1 * 4 * s1 * s1 * d1             # stage-1 self
+    attn += v * l2 * 4 * s2 * s1 * d2        # cross
+    if cfg.view_transformer_use_swin_attn:
+        attn += v * l2 * 4 * s2 * 64 * d2    # 8x8 windows
+    else:
+        attn += v * l2 * 4 * s2 * s2 * d2
+
+    # softmax elements (priced on the VPU, not the MXU)
+    softmax_elems = (l1 * h1 * s1 * s1
+                     + v * l2 * h2 * s2 * s1
+                     + v * l2 * h2 * s2
+                     * (64 if cfg.view_transformer_use_swin_attn else s2))
+
+    # DPT conv chain (reference dpt.py:174-273 structure): scratch 3x3
+    # convs at the resized taps, 4 refinenet fusion blocks with 2 RCUs
+    # (2 convs each) per resolution, 3x3 output convs at full res
+    feat = cfg.dpt_features
+    grid = res // cfg.patch_size
+    resolutions = [grid * 4, grid * 2, grid, grid // 2]
+    conv = 0.0
+    for r_i, c_i in zip(resolutions, cfg.dpt_out_channels):
+        conv += v * 2 * 9 * r_i * r_i * c_i * feat          # scratch
+        conv += v * 4 * 2 * 9 * r_i * r_i * feat * feat     # RCUs
+    conv += v * 2 * 9 * res * res * feat * feat             # out conv1
+    conv += v * 2 * 9 * res * res * feat * 32               # out conv2a
+    conv += v * 2 * res * res * 32 * 3                      # out conv2b
+
+    # bandwidth-bound streaming passes (2 bytes bf16, read+write):
+    # norms (3/decoder layer + 2 qk-norms, 2/encoder layer + qk), rope
+    # tables (fp32), residual adds, swin regroups (6 shifted layers x
+    # 3 passes)
+    bts = 0.0
+    bts += l1 * 5 * (s1 * d1 * 2 * 2)
+    bts += v * l2 * 7 * (s2 * d2 * 2 * 2)
+    # rope cos/sin tables, head-shared [B, S, head_dim] fp32 (2 tables,
+    # q-side per view + ctx-side per view, written once + read by the
+    # kernel per head... priced as one r+w pass each)
+    hd2 = d2 // h2
+    bts += v * l2 * 2 * ((s2 + s1) * hd2 * 4 * 2)
+    if cfg.view_transformer_use_swin_attn:
+        bts += v * (l2 // 2) * 2 * 3 * (s2 * d2 * 2)        # regroups
+
+    t_dense = dense / (CLASS_EFF['dense'] * peak_tflops * 1e12)
+    t_attn = attn / (CLASS_EFF['attn'] * peak_tflops * 1e12)
+    t_conv = conv / (CLASS_EFF['conv'] * peak_tflops * 1e12)
+    t_vpu = softmax_elems / VPU_SOFTMAX_ELEM_S
+    t_hbm = bts / (HBM_EFF * peak_gbs * 1e9)
+    total = t_dense + t_attn + t_conv + t_vpu + t_hbm
+    return {
+        'model_tflop': round((dense + attn + conv) / 1e12, 3),
+        'achievable_ms': round(total * 1e3, 2),
+        'breakdown_ms': {
+            'dense_matmul': round(t_dense * 1e3, 2),
+            'attention_matmul': round(t_attn * 1e3, 2),
+            'conv': round(t_conv * 1e3, 2),
+            'vpu_softmax': round(t_vpu * 1e3, 2),
+            'streaming_passes': round(t_hbm * 1e3, 2),
+        },
+        'assumptions': {
+            'class_efficiency': CLASS_EFF,
+            'vpu_softmax_elem_per_s': VPU_SOFTMAX_ELEM_S,
+            'hbm_sustained_fraction': HBM_EFF,
+        },
+    }
+
 
 def _flop_count(fn, args):
     """XLA cost analysis of the lowered graph (CPU lowering is fine for
@@ -130,6 +249,11 @@ def main(argv=None):
         'peak_hbm_gbs': peak_gbs,
         # speed-of-light wall for the dominant (compute) roof
         'sol_ms_compute': round(flops / (peak_tflops * 1e12) * 1e3, 2),
+        # achievable wall: per-class measured ceilings + VPU softmax +
+        # streaming passes (VERDICT r4 next #5) — the bound a perfect
+        # implementation of THIS architecture could actually reach
+        'achievable': achievable_model(cfg, res, n_views, n_tris,
+                                       peak_tflops, peak_gbs),
     }
 
     if not args.no_measure:
@@ -170,6 +294,11 @@ def main(argv=None):
             'triangle_tokens_per_s': round(tri_tokens / dt, 0),
             'patch_tokens_per_s': round(patch_tokens / dt, 0),
             'sol_headroom_x': round(dt * 1e3 / report['sol_ms_compute'], 2),
+            'pct_of_compute_sol': round(
+                100 * report['sol_ms_compute'] / (dt * 1e3), 1),
+            'pct_of_achievable': round(
+                100 * report['achievable']['achievable_ms'] / (dt * 1e3),
+                1),
         })
 
     print(json.dumps(report, indent=2))

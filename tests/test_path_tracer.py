@@ -132,6 +132,7 @@ def test_shadowing():
     assert shadowed.mean() < 0.05 * lit.mean(), (lit, shadowed)
 
 
+@pytest.mark.slow
 def test_nee_matches_bruteforce():
     """NEE and brute-force estimators agree in expectation (cbox-like
     box, one bounce of indirect light)."""
@@ -237,6 +238,7 @@ def test_furnace(spec, rough, lo, hi):
     assert lo * L <= center <= hi * L, (center, L, lo, hi)
 
 
+@pytest.mark.slow
 def test_specular_mis_matches_bruteforce():
     """Veach-style check: a glossy floor lit by a small bright light —
     the NEE+MIS estimator and the brute-force estimator agree in

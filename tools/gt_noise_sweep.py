@@ -1,0 +1,113 @@
+"""Quantify path-traced GT noise vs spp (VERDICT r4 next #8).
+
+Renders 2-3 dataset scenes at spp in {8..256}, with and without the
+firefly clamp, and reports PSNR against a high-spp (1024, unclamped)
+reference render of the same scene/view — so the fine-tune dataset's
+spp can be chosen deliberately and the training loss floor can be
+attributed (model error vs GT noise).
+
+Usage:
+    python tools/gt_noise_sweep.py [--h5_dir datasets/ft128/h5]
+        [--scenes 3] [--resolution 256] [--out docs/training.md]
+
+Appends/updates a '## Path-traced GT noise vs spp' section in --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def psnr(a, b):
+    import numpy as np
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float('inf')
+    # HDR images: reference peak = max of the clean render
+    peak = float(b.max()) or 1.0
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--h5_dir', default='datasets/ft128/h5')
+    ap.add_argument('--scenes', type=int, default=3)
+    ap.add_argument('--resolution', type=int, default=256)
+    ap.add_argument('--ref_spp', type=int, default=1024)
+    ap.add_argument('--spps', default='8,16,32,64,128,256')
+    ap.add_argument('--clamp', type=float, default=10.0)
+    ap.add_argument('--out', default=None,
+                    help='markdown file to update (section replace)')
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:
+        pass
+    from renderformer_tpu.io.h5 import list_scene_files, load_scene_h5
+    from renderformer_tpu.scene.path_tracer import render_scene_pathtrace
+
+    files = list_scene_files(args.h5_dir)[:args.scenes]
+    if not files:
+        raise SystemExit(f'no scenes under {args.h5_dir}')
+    spps = [int(s) for s in args.spps.split(',')]
+
+    rows = []
+    for f in files:
+        scene = load_scene_h5(f)
+        name = os.path.splitext(os.path.basename(f))[0]
+        ref = render_scene_pathtrace(scene, view=0,
+                                     resolution=args.resolution,
+                                     spp=args.ref_spp, seed=999, clamp=0.0)
+        for spp in spps:
+            img0 = render_scene_pathtrace(scene, view=0,
+                                          resolution=args.resolution,
+                                          spp=spp, seed=1, clamp=0.0)
+            imgc = render_scene_pathtrace(scene, view=0,
+                                          resolution=args.resolution,
+                                          spp=spp, seed=1,
+                                          clamp=args.clamp)
+            rows.append((name, spp, psnr(img0, ref), psnr(imgc, ref)))
+            print(f'{name} spp={spp}: PSNR {rows[-1][2]:.1f} dB '
+                  f'(clamped {rows[-1][3]:.1f} dB)', flush=True)
+
+    lines = [
+        '## Path-traced GT noise vs spp',
+        '',
+        f'PSNR of a single render vs a {args.ref_spp}-spp unclamped',
+        f'reference of the same view, {args.resolution}^2'
+        ' (tools/gt_noise_sweep.py; HDR PSNR against the reference peak).'
+        f'  Clamp = {args.clamp} is the generate_dataset default.',
+        '',
+        '| scene | spp | PSNR (dB) | PSNR, clamped (dB) |',
+        '|---|---|---|---|',
+    ]
+    for name, spp, p0, pc in rows:
+        lines.append(f'| {name} | {spp} | {p0:.1f} | {pc:.1f} |')
+    lines.append('')
+    block = '\n'.join(lines)
+
+    if args.out:
+        marker = '## Path-traced GT noise vs spp'
+        text = open(args.out).read() if os.path.exists(args.out) else ''
+        if marker in text:
+            head, rest = text.split(marker, 1)
+            nxt = rest.find('\n## ')
+            tail = rest[nxt + 1:] if nxt >= 0 else ''
+            text = head + block + ('\n' + tail if tail else '')
+        else:
+            text = text.rstrip() + '\n\n' + block
+        with open(args.out, 'w') as f:
+            f.write(text)
+        print(f'updated {args.out}')
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,8 +1,11 @@
-"""End-to-end train-step benchmark on the real TPU: v1-base 205M,
-fwd+bwd+AdamW at 256^2, bs=1, 2048 triangles (the reference fine-tune
-configuration, configs/config.yml).  Compares the fused single-pass
-flash backward (default) against the two-kernel design
-(RFTPU_FUSED_BWD=0) when run twice with the env toggled.
+"""End-to-end train-step benchmark on the real TPU.
+
+Default: v1-base 205M, fwd+bwd+AdamW at 256^2, bs=1, 2048 triangles
+(the reference fine-tune configuration, configs/config.yml).  Env
+knobs: RFTPU_BENCH_PRESET (v1-base | v1.1-swin-large), RFTPU_BENCH_RES,
+RFTPU_BENCH_TRIS, RFTPU_BENCH_REMAT=1, RFTPU_BENCH_VIEWS.  Compares the
+fused single-pass flash backward (default) against the two-kernel
+design (RFTPU_FUSED_BWD=0) when run twice with the env toggled.
 """
 import os
 import sys
@@ -14,15 +17,19 @@ import jax, jax.numpy as jnp, numpy as np
 jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
 
-from renderformer_tpu.config import V1_BASE
+from renderformer_tpu.config import PRESETS
 from renderformer_tpu.models.renderformer import RenderFormer
 from renderformer_tpu.training.state import (
     TrainConfig, TrainState, make_optimizer, make_train_step)
 
-res, n, v, bs = 256, int(os.environ.get('RFTPU_BENCH_TRIS', '2048')), 1, 1
+res = int(os.environ.get('RFTPU_BENCH_RES', '256'))
+n = int(os.environ.get('RFTPU_BENCH_TRIS', '2048'))
+v = int(os.environ.get('RFTPU_BENCH_VIEWS', '1'))
+bs = 1
+preset = os.environ.get('RFTPU_BENCH_PRESET', 'v1-base')
 remat = os.environ.get('RFTPU_BENCH_REMAT', '0') == '1'
 
-model = RenderFormer(V1_BASE)
+model = RenderFormer(PRESETS[preset])
 params = model.init(jax.random.key(0))
 tc = TrainConfig(resolution=res, precision='bfloat16', steps_per_epoch=100,
                  remat=remat)
@@ -54,5 +61,5 @@ for _ in range(iters):
 loss = float(m['loss'])  # forces completion of the chain
 dt = (time.perf_counter() - t0) / iters
 fused = os.environ.get('RFTPU_FUSED_BWD', '1') != '0'
-print(f'train step 205M {res}^2 bs{bs} {n}tris remat={remat} '
+print(f'train step {preset} {res}^2 bs{bs} v{v} {n}tris remat={remat} '
       f'fused_bwd={fused}: {dt*1e3:.1f} ms/step (loss {loss:.5f})')

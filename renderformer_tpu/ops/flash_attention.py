@@ -895,7 +895,16 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     # flatten first, pad on the flat shape (flat fusion roots absorb
     # the custom-call layout normalization — round-1 note)
     q2 = q.reshape(b, sq, h * d)
-    k2 = _rot_kv_broadcast(k, cosk, sink, sk_p, interpret)
+    import os
+    if os.environ.get('RFTPU_ROT_KV', '1') != '0':
+        k2 = _rot_kv_broadcast(k, cosk, sink, sk_p, interpret)
+    else:
+        # XLA fallback rotation (A/B reference): materializes the view
+        # fan-out + fp32 intermediates the kernel path avoids
+        kb = _bcast_kv(k, reps)
+        k2 = _rot_bhsd(kb, cosk, sink).reshape(b, sk, h * d)
+        if sk_p != sk:
+            k2 = jnp.pad(k2, ((0, 0), (0, sk_p - sk), (0, 0)))
     v2 = v.reshape(bkv, sk, h * d)
 
     if sq_p != sq:

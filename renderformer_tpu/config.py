@@ -180,7 +180,7 @@ def trace_env_flags() -> tuple:
         os.environ.get('RFTPU_FWD_SPLIT', ''),
         os.environ.get('RFTPU_SWIN_KERNEL', '1'),
         os.environ.get('RFTPU_REGROUP_KERNEL', '1'),
-        os.environ.get('RFTPU_ROT_KV', '1'),
+        os.environ.get('RFTPU_ROT_KV', ''),
         os.environ.get('RFTPU_DPT_TAIL', ''),
     )
 

@@ -896,11 +896,18 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     # the custom-call layout normalization — round-1 note)
     q2 = q.reshape(b, sq, h * d)
     import os
-    if os.environ.get('RFTPU_ROT_KV', '1') != '0':
+    # Broadcast-rotate kernel only where it wins: at head_dim >= 128 the
+    # [rows, H, D] blocks are full-lane vregs and the kernel measures
+    # -11 ms/step on 483M (176.0 -> 165.0); at head_dim 64 (v1-base) the
+    # half-lane tiles REGRESS -4.2 ms/step (91.8 vs 87.6) and the XLA
+    # rotation path wins.  RFTPU_ROT_KV=0/1 forces either arm.
+    env = os.environ.get('RFTPU_ROT_KV', '')
+    use_rot_kernel = (d >= 128) if env == '' else (env != '0')
+    if use_rot_kernel:
         k2 = _rot_kv_broadcast(k, cosk, sink, sk_p, interpret)
     else:
-        # XLA fallback rotation (A/B reference): materializes the view
-        # fan-out + fp32 intermediates the kernel path avoids
+        # XLA rotation (materializes the view fan-out + fp32
+        # intermediates; cheaper than half-lane kernel tiles at D=64)
         kb = _bcast_kv(k, reps)
         k2 = _rot_bhsd(kb, cosk, sink).reshape(b, sk, h * d)
         if sk_p != sk:

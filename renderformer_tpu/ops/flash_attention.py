@@ -896,13 +896,15 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     # the custom-call layout normalization — round-1 note)
     q2 = q.reshape(b, sq, h * d)
     import os
-    # Broadcast-rotate kernel only where it wins: at head_dim >= 128 the
-    # [rows, H, D] blocks are full-lane vregs and the kernel measures
-    # -11 ms/step on 483M (176.0 -> 165.0); at head_dim 64 (v1-base) the
-    # half-lane tiles REGRESS -4.2 ms/step (91.8 vs 87.6) and the XLA
-    # rotation path wins.  RFTPU_ROT_KV=0/1 forces either arm.
+    # Broadcast-rotate kernel only where it wins: its [rows, H, D]
+    # blocks put H on the sublane axis, so H must tile (8) and D must
+    # tile (128).  Measured on v5e at 512^2: 483M (H=8, D=128) the
+    # kernel is -11 ms/step (176.0 -> 165.0); v1-base (H=6, D=128) the
+    # 6-sublane padding REGRESSES +4.2 ms/step (91.8 vs 87.6) and the
+    # XLA rotation wins.  RFTPU_ROT_KV=0/1 forces either arm.
     env = os.environ.get('RFTPU_ROT_KV', '')
-    use_rot_kernel = (d >= 128) if env == '' else (env != '0')
+    use_rot_kernel = ((h % 8 == 0 and d % 128 == 0) if env == ''
+                      else (env != '0'))
     if use_rot_kernel:
         k2 = _rot_kv_broadcast(k, cosk, sink, sk_p, interpret)
     else:

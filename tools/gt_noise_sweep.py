@@ -61,7 +61,10 @@ def main(argv=None):
 
     rows = []
     for f in files:
-        scene = load_scene_h5(f)
+        # shared padding bucket: every scene compiles the same tracer
+        # shapes, so the (spp, clamp)-keyed jit cache is hit across
+        # scenes instead of recompiling 12x per scene
+        scene = load_scene_h5(f, padding_length=4096)
         name = os.path.splitext(os.path.basename(f))[0]
         ref = render_scene_pathtrace(scene, view=0,
                                      resolution=args.resolution,

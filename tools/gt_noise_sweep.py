@@ -59,6 +59,20 @@ def main(argv=None):
         raise SystemExit(f'no scenes under {args.h5_dir}')
     spps = [int(s) for s in args.spps.split(',')]
 
+    def render_accum(scene, spp_total, seed0, clamp):
+        """Average over 64-spp chunks with distinct seeds: identical
+        estimator to one spp_total call, but each device program stays
+        short (a single 512-spp program tripped the tunnel watchdog)."""
+        chunk = min(64, spp_total)
+        n = spp_total // chunk
+        acc = None
+        for i in range(n):
+            img = render_scene_pathtrace(
+                scene, view=0, resolution=args.resolution, spp=chunk,
+                seed=seed0 + i, clamp=clamp)
+            acc = img if acc is None else acc + img
+        return acc / n
+
     rows = []
     for f in files:
         # shared padding bucket: every scene compiles the same tracer
@@ -66,17 +80,10 @@ def main(argv=None):
         # scenes instead of recompiling 12x per scene
         scene = load_scene_h5(f, padding_length=4096)
         name = os.path.splitext(os.path.basename(f))[0]
-        ref = render_scene_pathtrace(scene, view=0,
-                                     resolution=args.resolution,
-                                     spp=args.ref_spp, seed=999, clamp=0.0)
+        ref = render_accum(scene, args.ref_spp, 999, 0.0)
         for spp in spps:
-            img0 = render_scene_pathtrace(scene, view=0,
-                                          resolution=args.resolution,
-                                          spp=spp, seed=1, clamp=0.0)
-            imgc = render_scene_pathtrace(scene, view=0,
-                                          resolution=args.resolution,
-                                          spp=spp, seed=1,
-                                          clamp=args.clamp)
+            img0 = render_accum(scene, spp, 1, 0.0)
+            imgc = render_accum(scene, spp, 1, args.clamp)
             rows.append((name, spp, psnr(img0, ref), psnr(imgc, ref)))
             print(f'{name} spp={spp}: PSNR {rows[-1][2]:.1f} dB '
                   f'(clamped {rows[-1][3]:.1f} dB)', flush=True)

@@ -189,3 +189,48 @@ def test_fused_bwd_matches_twokernel():
             np.testing.assert_allclose(
                 np.asarray(ga), np.asarray(gb), atol=2e-5, rtol=1e-4,
                 err_msg=f'{name} b{b} sq{sq} sk{sk} masked={masked}')
+
+
+def test_rope_fused_per_scene_kv():
+    """flash_attention_rope with per-scene K/V (batch Bkv dividing the
+    q batch — the view fan-out) matches explicit broadcast, fwd and
+    grads (including the per-scene cotangent reduction)."""
+    from renderformer_tpu.encodings.rope import apply_rope, make_cos_sin
+    from renderformer_tpu.ops.flash_attention import flash_attention_rope
+
+    rng = np.random.default_rng(11)
+    bkv, reps, h, sq, sk, d = 2, 3, 2, 64, 48, 128
+    b = bkv * reps
+    q = jnp.asarray(rng.normal(size=(b, sq, h, d)), jnp.float32) * 0.2
+    k1 = jnp.asarray(rng.normal(size=(bkv, sk, h, d)), jnp.float32) * 0.2
+    v1 = jnp.asarray(rng.normal(size=(bkv, sk, h, d)), jnp.float32) * 0.2
+    # per-scene key-padding mask, view-major broadcast to the q batch
+    mask1 = jnp.asarray(rng.uniform(size=(bkv, sk)) > 0.3).at[:, 0].set(True)
+    mask = jnp.repeat(mask1, reps, axis=0)
+    pos_q = jnp.asarray(rng.normal(size=(b, sq, 9)), jnp.float32) * 0.3
+    pos_k = jnp.asarray(rng.normal(size=(b, sk, 9)), jnp.float32) * 0.3
+    cq, sq_ = make_cos_sin(pos_q, rope_dim=12, head_dim=d)
+    ck, sk_ = make_cos_sin(pos_k, rope_dim=12, head_dim=d)
+
+    def bcast(x):
+        return jnp.repeat(x, reps, axis=0)
+
+    def loss_ref(k_, v_):
+        qr = apply_rope(q, cq, sq_)
+        kr = apply_rope(bcast(k_), ck, sk_)
+        return jnp.sum(jnp.square(
+            sdpa_xla(qr, kr, bcast(v_), mask[:, None, None, :])))
+
+    def loss_kernel(k_, v_):
+        out = flash_attention_rope(q, k_, v_, mask, cq, sq_, ck, sk_,
+                                   bq=64, bk=64, interpret=True)
+        return jnp.sum(jnp.square(out))
+
+    np.testing.assert_allclose(float(loss_kernel(k1, v1)),
+                               float(loss_ref(k1, v1)), rtol=1e-5)
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(k1, v1)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(k1, v1)
+    for a, b_ in zip(gk, gr):
+        assert a.shape == (bkv, sk, h, d)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)

@@ -822,32 +822,42 @@ def _rot_kv_kernel(k_ref, cos_ref, sin_ref, o_ref):
 
 def _rot_kv_broadcast(k1, cos, sin, sk_p: int, interpret: bool):
     """k1 [Bkv, Sk, H, D] bf16 (Bkv divides B), cos/sin [B, Sk, D] fp32
-    -> rotated flat K [B, sk_p, H*D] (zero-padded rows)."""
+    -> rotated flat K [B, sk_p, Hp*D] (zero-padded rows), with the head
+    axis padded up to a multiple of 8: H rides the SUBLANE axis of the
+    kernel blocks, and 6-head models (v1-base) measured a 4.6% e2e
+    regression on the padded 6-of-8 tiles.  The zero pad costs one tiny
+    per-scene copy; the main kernel's per-head index maps simply never
+    touch the pad heads.  Callers must size their k-blocks over Hp*D."""
     b = cos.shape[0]
     bkv, sk, h, d = k1.shape
     reps = b // bkv
-    if sk != sk_p:
-        k1 = jnp.pad(k1, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+    hp = _round_up(h, 8)
+    if sk != sk_p or hp != h:
+        k1 = jnp.pad(k1, ((0, 0), (0, sk_p - sk), (0, hp - h), (0, 0)))
         cos = jnp.pad(cos, ((0, 0), (0, sk_p - sk), (0, 0)))
         sin = jnp.pad(sin, ((0, 0), (0, sk_p - sk), (0, 0)))
-    rows = next(r for r in (1024, 512, 256, 128) if sk_p % r == 0)
+    # 512-row cap: at 1024 rows the fp32 rotate intermediates of an
+    # 8-head block exceeded the scoped-vmem stack limit (36.4M vs
+    # 35.5M) once the head pad landed
+    rows = next((r for r in (512, 256, 128)
+                 if sk_p % r == 0), sk_p)
     out = pl.pallas_call(
         _rot_kv_kernel,
         grid=(b, sk_p // rows),
         in_specs=[
-            pl.BlockSpec((None, rows, h, d),
+            pl.BlockSpec((None, rows, hp, d),
                          lambda bi, si: (bi // reps, si, 0, 0)),
             pl.BlockSpec((None, rows, d), lambda bi, si: (bi, si, 0)),
             pl.BlockSpec((None, rows, d), lambda bi, si: (bi, si, 0)),
         ],
-        out_specs=pl.BlockSpec((None, rows, h, d),
+        out_specs=pl.BlockSpec((None, rows, hp, d),
                                lambda bi, si: (bi, si, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, sk_p, h, d), k1.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, sk_p, hp, d), k1.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel')),
     )(k1, cos, sin)
-    return out.reshape(b, sk_p, h * d)
+    return out.reshape(b, sk_p, hp * d)
 
 
 def _fwd_qrope_kernel(q_ref, k_ref, v_ref, mask_ref, cosq_ref, sinq_ref,
@@ -896,15 +906,13 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     # the custom-call layout normalization — round-1 note)
     q2 = q.reshape(b, sq, h * d)
     import os
-    # Broadcast-rotate kernel only where it wins: its [rows, H, D]
-    # blocks put H on the sublane axis, so H must tile (8) and D must
-    # tile (128).  Measured on v5e at 512^2: 483M (H=8, D=128) the
-    # kernel is -11 ms/step (176.0 -> 165.0); v1-base (H=6, D=128) the
-    # 6-sublane padding REGRESSES +4.2 ms/step (91.8 vs 87.6) and the
-    # XLA rotation wins.  RFTPU_ROT_KV=0/1 forces either arm.
+    # Broadcast-rotate kernel wherever D tiles the lane axis; the head
+    # (sublane) axis is zero-padded to 8 inside _rot_kv_broadcast (six
+    # live heads on 6-of-8 tiles measured a 4.6% e2e regression on
+    # v1-base before the pad; 483M H=8 measured -11 ms/step, 176.0 ->
+    # 165.0).  RFTPU_ROT_KV=0/1 forces either arm.
     env = os.environ.get('RFTPU_ROT_KV', '')
-    use_rot_kernel = ((h % 8 == 0 and d % 128 == 0) if env == ''
-                      else (env != '0'))
+    use_rot_kernel = (d % 128 == 0) if env == '' else (env != '0')
     if use_rot_kernel:
         k2 = _rot_kv_broadcast(k, cosk, sink, sk_p, interpret)
     else:

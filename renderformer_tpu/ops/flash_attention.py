@@ -906,13 +906,17 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     # the custom-call layout normalization — round-1 note)
     q2 = q.reshape(b, sq, h * d)
     import os
-    # Broadcast-rotate kernel wherever D tiles the lane axis; the head
-    # (sublane) axis is zero-padded to 8 inside _rot_kv_broadcast (six
-    # live heads on 6-of-8 tiles measured a 4.6% e2e regression on
-    # v1-base before the pad; 483M H=8 measured -11 ms/step, 176.0 ->
-    # 165.0).  RFTPU_ROT_KV=0/1 forces either arm.
+    # Broadcast-rotate kernel where it measures ahead (v5e, 512^2):
+    # always on the per-scene fan-out sites (reps > 1 — the kernel
+    # exists to avoid materializing the view broadcast), and on
+    # reps == 1 sites only for natively 8-aligned head counts (483M
+    # H=8: -11 ms/step, 176.0 -> 165.0).  For 6-head reps-1 sites the
+    # XLA single-pass rotate wins even against head-padded kernel
+    # tiles (87.6 vs 90.5 all-kernel / 91.8 unpadded on v1-base).
+    # RFTPU_ROT_KV=0/1 forces either arm everywhere.
     env = os.environ.get('RFTPU_ROT_KV', '')
-    use_rot_kernel = (d % 128 == 0) if env == '' else (env != '0')
+    use_rot_kernel = ((d % 128 == 0 and (reps > 1 or h % 8 == 0))
+                      if env == '' else (env != '0'))
     if use_rot_kernel:
         k2 = _rot_kv_broadcast(k, cosk, sink, sk_p, interpret)
     else:

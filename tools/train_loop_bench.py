@@ -76,6 +76,7 @@ def main(argv=None):
 
     for epoch in range(args.epochs):
         times = []
+        losses = []
         last = time.perf_counter()
 
         def loaded():
@@ -85,7 +86,7 @@ def main(argv=None):
 
         for i, batch in enumerate(prefetch(loaded(), depth=2)):
             state, metrics = step(state, batch)
-            loss = float(metrics['loss'])   # sync: true per-step wall
+            losses.append(float(metrics['loss']))  # sync: true per-step
             now = time.perf_counter()
             times.append(now - last)
             last = now
@@ -94,7 +95,7 @@ def main(argv=None):
         print(f'epoch {epoch}: {len(times)} steps, median '
               f'{med:.3f} s/step (first {times[0]:.2f}s incl. '
               f'{"compile+" if epoch == 0 else ""}decode), '
-              f'loss {loss:.5f}', flush=True)
+              f'mean loss {np.mean(losses):.5f}', flush=True)
 
 
 if __name__ == '__main__':

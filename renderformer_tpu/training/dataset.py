@@ -198,6 +198,8 @@ class RenderFormerDataset:
         if pad_last:
             drop_last = False
         end = len(indices) - (len(indices) % step if drop_last else 0)
+
+        plan = []
         for start in range(0, max(end, 0), step):
             chunk = indices[start:start + step]
             if len(chunk) < batch_size and drop_last:
@@ -206,9 +208,24 @@ class RenderFormerDataset:
             if pad_last and n_real < batch_size:
                 chunk = [chunk[i % n_real] for i in range(batch_size)]
             local = chunk[rank * per_proc:(rank + 1) * per_proc]
-            if not local:
-                continue
-            items = [self[i] for i in local]
+            if local:
+                plan.append((len(chunk), n_real, local))
+
+        # first-epoch decode parallelism: with the RAM cache on, kick
+        # the whole epoch's gzip-9/GT decodes onto a small pool in the
+        # consumption order — decode of scene i+1.. overlaps the train
+        # step on scene i (zlib decompress releases the GIL).  Cached
+        # epochs hit the dict and the pool is a no-op passthrough.
+        fetched = None
+        if self.cache and len(plan) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=2)
+            order = [i for _, _, local in plan for i in local]
+            fetched = iter(ex.map(self.__getitem__, order))
+
+        for chunk_len, n_real, local in plan:
+            items = ([next(fetched) for _ in local] if fetched is not None
+                     else [self[i] for i in local])
             if any('texture_flat' not in it for it in items):
                 # mixed compact/full scenes: expand the compact ones so
                 # the batch has one signature (rare — only scenes whose
@@ -219,7 +236,7 @@ class RenderFormerDataset:
                             it.pop('texture_flat'))
             out = {k: np.stack([it[k] for it in items]) for k in items[0]}
             if pad_last:
-                valid = np.zeros(len(chunk), np.float32)
+                valid = np.zeros(chunk_len, np.float32)
                 valid[:n_real] = 1.0
                 out['valid'] = valid[rank * per_proc:(rank + 1) * per_proc]
             yield out

@@ -884,10 +884,11 @@ def _fwd_qrope_kernel_nomask(q_ref, k_ref, v_ref, cosq_ref, sinq_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=('bq', 'bk', 'interpret', 'with_lse',
-                                    'split'))
+                                    'split', 'rot_kernel'))
 def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
                     bq: int, bk: int, interpret: bool,
-                    with_lse: bool = False, split: int = 1):
+                    with_lse: bool = False, split: int = 1,
+                    rot_kernel: bool = True):
     """cos/sin: [B, S, D] fp32, shared across heads.
 
     k/v may carry a SMALLER batch Bkv dividing B (the per-view fan-out
@@ -905,19 +906,7 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     # flatten first, pad on the flat shape (flat fusion roots absorb
     # the custom-call layout normalization — round-1 note)
     q2 = q.reshape(b, sq, h * d)
-    import os
-    # Broadcast-rotate kernel where it measures ahead (v5e, 512^2):
-    # always on the per-scene fan-out sites (reps > 1 — the kernel
-    # exists to avoid materializing the view broadcast), and on
-    # reps == 1 sites only for natively 8-aligned head counts (483M
-    # H=8: -11 ms/step, 176.0 -> 165.0).  For 6-head reps-1 sites the
-    # XLA single-pass rotate wins even against head-padded kernel
-    # tiles (87.6 vs 90.5 all-kernel / 91.8 unpadded on v1-base).
-    # RFTPU_ROT_KV=0/1 forces either arm everywhere.
-    env = os.environ.get('RFTPU_ROT_KV', '')
-    use_rot_kernel = ((d % 128 == 0 and (reps > 1 or h % 8 == 0))
-                      if env == '' else (env != '0'))
-    if use_rot_kernel:
+    if rot_kernel and d % 128 == 0:
         k2 = _rot_kv_broadcast(k, cosk, sink, sk_p, interpret)
     else:
         # XLA rotation (materializes the view fan-out + fp32
@@ -1012,17 +1001,19 @@ def _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     return (out, lse) if with_lse else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _flash_rope(q, k, v, mask, cosq, sinq, cosk, sink, bq, bk, interpret,
-                split=1):
+                split=1, rot_kernel=True):
     return _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
-                           bq, bk, interpret, split=split)
+                           bq, bk, interpret, split=split,
+                           rot_kernel=rot_kernel)
 
 
 def _flash_rope_vjp_fwd(q, k, v, mask, cosq, sinq, cosk, sink,
-                        bq, bk, interpret, split=1):
+                        bq, bk, interpret, split=1, rot_kernel=True):
     out, lse = _flash_fwd_rope(q, k, v, mask, cosq, sinq, cosk, sink,
-                               bq, bk, interpret, with_lse=True, split=split)
+                               bq, bk, interpret, with_lse=True, split=split,
+                               rot_kernel=rot_kernel)
     return out, (q, k, v, mask, cosq, sinq, cosk, sink, out, lse)
 
 
@@ -1043,7 +1034,7 @@ def _reduce_kv_grad(dx, reps):
     return dx.reshape((b // reps, reps) + dx.shape[1:]).sum(axis=1)
 
 
-def _flash_rope_vjp_bwd(bq, bk, interpret, split, res, g):
+def _flash_rope_vjp_bwd(bq, bk, interpret, split, rot_kernel, res, g):
     q, k, v, mask, cosq, sinq, cosk, sink, out, lse = res
     # recompute rotated primals, run the standard backward, then rotate
     # dq/dk back (orthogonal rotation: inverse == negated sin).  k/v may
@@ -1065,21 +1056,23 @@ def _flash_rope_vjp_bwd(bq, bk, interpret, split, res, g):
 _flash_rope.defvjp(_flash_rope_vjp_fwd, _flash_rope_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _flash_rope_nomask(q, k, v, cosq, sinq, cosk, sink, bq, bk, interpret,
-                       split=1):
+                       split=1, rot_kernel=True):
     return _flash_fwd_rope(q, k, v, None, cosq, sinq, cosk, sink,
-                           bq, bk, interpret, split=split)
+                           bq, bk, interpret, split=split,
+                           rot_kernel=rot_kernel)
 
 
 def _flash_rope_nomask_vjp_fwd(q, k, v, cosq, sinq, cosk, sink,
-                               bq, bk, interpret, split=1):
+                               bq, bk, interpret, split=1, rot_kernel=True):
     out, lse = _flash_fwd_rope(q, k, v, None, cosq, sinq, cosk, sink,
-                               bq, bk, interpret, with_lse=True, split=split)
+                               bq, bk, interpret, with_lse=True, split=split,
+                               rot_kernel=rot_kernel)
     return out, (q, k, v, cosq, sinq, cosk, sink, out, lse)
 
 
-def _flash_rope_nomask_vjp_bwd(bq, bk, interpret, split, res, g):
+def _flash_rope_nomask_vjp_bwd(bq, bk, interpret, split, rot_kernel, res, g):
     q, k, v, cosq, sinq, cosk, sink, out, lse = res
     reps = q.shape[0] // k.shape[0]
     q_rot = _rot_bhsd(q, cosq, sinq)
@@ -1126,8 +1119,25 @@ def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     sinq = jax.lax.stop_gradient(sinq.astype(jnp.float32))
     cosk = jax.lax.stop_gradient(cosk.astype(jnp.float32))
     sink = jax.lax.stop_gradient(sink.astype(jnp.float32))
+    # Broadcast-rotate kernel where it measures ahead (v5e, 512^2):
+    # always on the per-scene fan-out sites (reps > 1 — the kernel
+    # exists to avoid materializing the view broadcast), and on
+    # reps == 1 sites only for natively 8-aligned head counts (483M
+    # H=8: -11 ms/step, 176.0 -> 165.0).  For 6-head reps-1 sites the
+    # XLA single-pass rotate wins even against head-padded kernel tiles
+    # (87.6 vs 90.5 all-kernel / 91.8 unpadded on v1-base).
+    # RFTPU_ROT_KV=0/1 forces either arm.  Decided HERE — outside the
+    # jitted _flash_fwd_rope — and threaded through as a static arg so
+    # the inner jit cache keys on it (an env read below the jit
+    # boundary would be silently frozen by the trace cache).
+    import os
+    b, h, d = q.shape[0], q.shape[2], q.shape[3]
+    reps = b // k.shape[0]
+    env = os.environ.get('RFTPU_ROT_KV', '')
+    rot_kernel = ((d % 128 == 0 and (reps > 1 or h % 8 == 0))
+                  if env == '' else (env != '0'))
     if mask is None:
         return _flash_rope_nomask(q, k, v, cosq, sinq, cosk, sink,
-                                  bq, bk, interpret, split)
+                                  bq, bk, interpret, split, rot_kernel)
     return _flash_rope(q, k, v, mask, cosq, sinq, cosk, sink,
-                       bq, bk, interpret, split)
+                       bq, bk, interpret, split, rot_kernel)

@@ -306,9 +306,11 @@ def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
     every hit — the brute-force estimator, same expectation, higher
     variance; used by tests to cross-check the NEE+MIS estimator).
 
-    ``clamp`` > 0 clips each NEE light-sample contribution elementwise
+    ``clamp`` > 0 clips each indirect light contribution elementwise —
+    NEE samples and non-primary BSDF-sample emission pickups alike
     (firefly suppression — the standard slightly-biased radiance clamp;
-    0 keeps the estimator unbiased).
+    0 keeps the estimator unbiased).  Primary-hit emission is never
+    clamped.
     """
     res = resolution
     has_spec = specular is not None
@@ -349,7 +351,8 @@ def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
         # -1 = deterministic (primary) -> emission weighted 1
         prev_pdf = jnp.full((r,), -1.0)
 
-        def bounce(carry, kd):
+        def bounce(carry, xs):
+            kd, is_last = xs
             o, d, radiance, throughput, alive, prev_pdf = carry
             t, idx, hit = intersect(o, d, tris, mask, chunk, pre=pre)
             hit = hit & alive
@@ -409,8 +412,18 @@ def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
                                      pdf_l_here))
             else:
                 w_emis = jnp.ones((r,))
+            emis_contrib = throughput * emis * w_emis[:, None]
+            if clamp > 0.0:
+                # the firefly clamp must also cover the BSDF-sampled
+                # emission pickup (the dominant spike source once the
+                # GGX lobe routes small bright lights through the BSDF
+                # strategy); primary hits (prev_pdf < 0) stay unclamped
+                # so looking straight at a light reads its radiance
+                emis_contrib = jnp.where(
+                    (prev_pdf >= 0)[:, None],
+                    jnp.minimum(emis_contrib, clamp), emis_contrib)
             radiance = radiance + jnp.where(
-                hit[:, None], throughput * emis * w_emis[:, None], 0.0)
+                hit[:, None], emis_contrib, 0.0)
 
             k_light, k_uv, k_dir, k_lobe = jax.random.split(kd, 4)
             if nee:
@@ -440,7 +453,12 @@ def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
                 shadow_o = p + n_g * 1e-3
                 shad = occluded(shadow_o, wi, dist - 2e-3, tris, mask,
                                 chunk, pre=pre)
-                w_mis = _power_heuristic(pdf_l, pdf_b_l)
+                # On the FINAL bounce the complementary BSDF-sample
+                # emission pickup never runs (the scan ends), so NEE
+                # must carry the full weight there or the deepest
+                # vertex's direct light is systematically undercounted.
+                w_mis = jnp.where(is_last > 0, 1.0,
+                                  _power_heuristic(pdf_l, pdf_b_l))
                 contrib = (throughput * f_l * emissive[li]
                            * (cos_s * w_mis
                               / jnp.maximum(pdf_l, EPS))[:, None])
@@ -471,9 +489,10 @@ def path_trace(tris, vn, mask, diffuse, emissive, c2w, fov_rad, key,
                     jnp.where(hit, pdf_s, -1.0)), None
 
         keys = jax.random.split(k_path, max_depth)
+        is_last = jnp.arange(max_depth) == max_depth - 1
         (o, d, radiance, throughput, alive, _), _ = jax.lax.scan(
             bounce, (o, d, radiance, throughput, alive, prev_pdf),
-            keys)
+            (keys, is_last))
         return radiance.reshape(res, res, 3)
 
     def spp_body(carry, key):

@@ -105,6 +105,7 @@ class RenderFormerDataset:
         # so the cache scales to thousands of scenes.
         self.cache = cache
         self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+        self._pool = None  # lazy decode pool, shared across epochs
 
     def __len__(self):
         return len(self.h5_files)
@@ -216,12 +217,16 @@ class RenderFormerDataset:
         # consumption order — decode of scene i+1.. overlaps the train
         # step on scene i (zlib decompress releases the GIL).  Cached
         # epochs hit the dict and the pool is a no-op passthrough.
+        # ONE pool per dataset (reused across epochs, not leaked per
+        # call); if a generator is abandoned mid-epoch the in-flight
+        # decodes still land in the RAM cache, so the work is kept.
         fetched = None
         if self.cache and len(plan) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            ex = ThreadPoolExecutor(max_workers=2)
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(max_workers=2)
             order = [i for _, _, local in plan for i in local]
-            fetched = iter(ex.map(self.__getitem__, order))
+            fetched = iter(self._pool.map(self.__getitem__, order))
 
         for chunk_len, n_real, local in plan:
             items = ([next(fetched) for _ in local] if fetched is not None
@@ -229,11 +234,14 @@ class RenderFormerDataset:
             if any('texture_flat' not in it for it in items):
                 # mixed compact/full scenes: expand the compact ones so
                 # the batch has one signature (rare — only scenes whose
-                # patches are not per-face constants)
+                # patches are not per-face constants); match the full
+                # items' actual patch size, not an assumed 32
+                ps = next(it['texture'].shape[-1] for it in items
+                          if 'texture' in it)
                 for it in items:
                     if 'texture_flat' in it:
                         it['texture'] = expand_texture_flat(
-                            it.pop('texture_flat'))
+                            it.pop('texture_flat'), ps)
             out = {k: np.stack([it[k] for it in items]) for k in items[0]}
             if pad_last:
                 valid = np.zeros(chunk_len, np.float32)

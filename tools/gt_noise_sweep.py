@@ -64,14 +64,17 @@ def main(argv=None):
         estimator to one spp_total call, but each device program stays
         short (a single 512-spp program tripped the tunnel watchdog)."""
         chunk = min(64, spp_total)
-        n = spp_total // chunk
-        acc = None
-        for i in range(n):
+        sizes = [chunk] * (spp_total // chunk)
+        if spp_total % chunk:
+            sizes.append(spp_total % chunk)  # weighted remainder chunk
+        acc, total = None, 0
+        for i, sz in enumerate(sizes):
             img = render_scene_pathtrace(
-                scene, view=0, resolution=args.resolution, spp=chunk,
-                seed=seed0 + i, clamp=clamp)
+                scene, view=0, resolution=args.resolution, spp=sz,
+                seed=seed0 + i, clamp=clamp) * sz
             acc = img if acc is None else acc + img
-        return acc / n
+            total += sz
+        return acc / total
 
     rows = []
     for f in files:

@@ -107,8 +107,11 @@ def main(argv=None):
     ds0 = RenderFormerDataset(h5_dir=data_dir, gt_dir=data_dir,
                               max_resolution=args.res)
     gt_fn = None
+    from renderformer_tpu.training.dataset import expand_texture_flat
     for i in range(len(ds0)):
         item = ds0[i]
+        if 'texture_flat' in item:  # compact per-face cache form
+            item['texture'] = expand_texture_flat(item.pop('texture_flat'))
         if gt_fn is None:
             from functools import partial
             gt_fn = jax.jit(partial(

@@ -1095,11 +1095,15 @@ def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
                          bq: Optional[int] = None, bk: Optional[int] = None,
                          interpret=None):
     """Flash attention with fp32 q-RoPE fused into the kernel prologue
-    (K is pre-rotated by one fused XLA pass — see module docstring).
+    (K is pre-rotated by the pallas broadcast-rotate pass or one fused
+    XLA pass — see module docstring).
 
-    q/k/v: [B, S, H, D]; cos/sin: [B, S, 1, D] or [B, S, D] fp32
-    (head-shared); mask: [B, Sk] or [B, 1, 1, Sk] bool, True = attend,
-    or None (compiles a kernel with no mask work).
+    q: [B, Sq, H, D]; k/v: [Bkv, Sk, H, D] where Bkv divides B (the
+    per-view fan-out of shared scene K/V — the kernel replays per-scene
+    rows via its index maps, view-major, and never materializes the
+    broadcast); cos/sin: [B, S, 1, D] or [B, S, D] fp32 (head-shared,
+    per-view on BOTH sides); mask: [B, Sk] or [B, 1, 1, Sk] bool,
+    True = attend, or None (compiles a kernel with no mask work).
     """
     if mask is not None and mask.ndim == 4:
         mask = mask[:, 0, 0, :]

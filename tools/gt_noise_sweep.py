@@ -23,13 +23,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def psnr(a, b):
+    """LDR PSNR (peak 1) on [0,1]-clipped images — the metric the
+    training loop actually sees: generate_dataset writes GT as
+    clip(img, 0, 1) PNGs.  (A peak=max(ref) HDR PSNR swings by >20 dB
+    with whether a bright light texel lands in the view — useless for
+    cross-run comparison.)"""
     import numpy as np
+    a = np.clip(a, 0.0, 1.0)
+    b = np.clip(b, 0.0, 1.0)
     mse = float(np.mean((a - b) ** 2))
     if mse == 0:
         return float('inf')
-    # HDR images: reference peak = max of the clean render
-    peak = float(b.max()) or 1.0
-    return 10.0 * np.log10(peak * peak / mse)
+    return 10.0 * np.log10(1.0 / mse)
 
 
 def main(argv=None):
@@ -77,33 +82,53 @@ def main(argv=None):
         return acc / total
 
     rows = []
+    biases = []
     for f in files:
         # shared padding bucket: every scene compiles the same tracer
         # shapes, so the (spp, clamp)-keyed jit cache is hit across
         # scenes instead of recompiling 12x per scene
         scene = load_scene_h5(f, padding_length=4096)
         name = os.path.splitext(os.path.basename(f))[0]
-        ref = render_accum(scene, args.ref_spp, 999, 0.0)
+        # Like-for-like references: clamped arms vs a clamped reference
+        # (the GT pipeline renders WITH clamp — its noise is the
+        # training-relevant number), unclamped vs unclamped.  The clamp
+        # BIAS is reported separately as ref_c vs ref_u.  NB the
+        # unclamped v2 estimator is heavy-tailed for the dataset's
+        # bright-large-light envelope (BSDF-side emission pickups), so
+        # its column converges slowly — that is the measurement, and
+        # exactly why generate_dataset clamps.
+        ref_u = render_accum(scene, args.ref_spp, 999, 0.0)
+        ref_c = render_accum(scene, args.ref_spp, 999, args.clamp)
+        biases.append((name, psnr(ref_c, ref_u)))
+        print(f'{name}: clamp bias (ref_c vs ref_u, {args.ref_spp} spp) '
+              f'= {biases[-1][1]:.1f} dB LDR', flush=True)
         for spp in spps:
             img0 = render_accum(scene, spp, 1, 0.0)
             imgc = render_accum(scene, spp, 1, args.clamp)
-            rows.append((name, spp, psnr(img0, ref), psnr(imgc, ref)))
+            rows.append((name, spp, psnr(img0, ref_u), psnr(imgc, ref_c)))
             print(f'{name} spp={spp}: PSNR {rows[-1][2]:.1f} dB '
                   f'(clamped {rows[-1][3]:.1f} dB)', flush=True)
 
     lines = [
         '## Path-traced GT noise vs spp',
         '',
-        f'PSNR of a single render vs a {args.ref_spp}-spp unclamped',
-        f'reference of the same view, {args.resolution}^2'
-        ' (tools/gt_noise_sweep.py; HDR PSNR against the reference peak).'
+        f'LDR PSNR (peak 1, [0,1]-clipped — the form the training GT',
+        f'PNGs are written in) of a single render vs a {args.ref_spp}-spp',
+        f'unclamped reference of the same view, {args.resolution}^2'
+        ' (tools/gt_noise_sweep.py).'
         f'  Clamp = {args.clamp} is the generate_dataset default.',
         '',
-        '| scene | spp | PSNR (dB) | PSNR, clamped (dB) |',
+        '| scene | spp | PSNR vs unclamped ref (dB) |'
+        ' PSNR, clamped vs clamped ref (dB) |',
         '|---|---|---|---|',
     ]
     for name, spp, p0, pc in rows:
         lines.append(f'| {name} | {spp} | {p0:.1f} | {pc:.1f} |')
+    lines.append('')
+    for name, b in biases:
+        lines.append(f'* {name}: clamp-{args.clamp:g} bias vs the '
+                     f'unclamped estimator: {b:.1f} dB LDR at '
+                     f'{args.ref_spp} spp')
     lines.append('')
     block = '\n'.join(lines)
 

@@ -179,9 +179,16 @@ _swin_op.defvjp(_swin_op_fwd, _swin_op_bwd)
 def swin_kernel_applicable(bw: int, s: int, c: int, num_heads: int,
                            n_windows: int) -> bool:
     """Static gate: 64-token windows, 128-dim heads, pairable windows
-    that never straddle a view boundary."""
+    that never straddle a view boundary, and a window batch large
+    enough to feed the grid — at few windows (single-view training:
+    bw=64 at 512^2) the small per-program grids plus the jnp-reference
+    backward recompute measured a NET LOSS vs XLA's batched attention
+    (483M 512^2 train step 254.3 vs 250.9 ms), while the 8-view
+    inference batch (bw=512) gains ~8%.  bw >= 256 keeps the kernel on
+    exactly where it wins."""
     return (s == 64 and c % num_heads == 0 and c // num_heads == 128
-            and n_windows % 2 == 0 and bw % n_windows == 0)
+            and n_windows % 2 == 0 and bw % n_windows == 0
+            and bw >= 256)
 
 
 def _pick_pairs_per_block(bwp: int, nbias: int) -> int:

@@ -64,7 +64,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_q_split(bq: int, bk: int, sk: int) -> int:
+def _fwd_q_split(bq: int, bk: int, sk: int, h: int = 0) -> int:
     """Independent q sub-chains per forward block in the single-K-block
     path (see _fwd_body). Read ONCE per call in the public wrappers and
     threaded through as a static argument so it participates in the jit
@@ -84,7 +84,18 @@ def _fwd_q_split(bq: int, bk: int, sk: int) -> int:
     if env is not None:
         return int(env)
     single_block = _round_up(sk, 128) <= bk
-    return 4 if (single_block and bq % 4 == 0 and bq // 4 >= 8) else 1
+    if not single_block:
+        return 1
+    # round-5 H=8 sweep (tools/cross_micro.py): at the 483M cross shape
+    # (4096x2064, H=8) split=8 with bq=1024 measures 2.258 vs 2.509 ms
+    # for the old 512/4 default; at H=6 (v1-base) split=8 REGRESSES
+    # (1.61 vs 1.531 at 1024/4) — 8 chains of 128 rows suit 8-aligned
+    # head grids only.
+    # chains shorter than 128 rows regress (bq=512/split=8 measured
+    # 2.593 vs 2.281 at split=2): require bq/8 >= 128
+    if h and h % 8 == 0 and bq % 8 == 0 and bq // 8 >= 128:
+        return 8
+    return 4 if (bq % 4 == 0 and bq // 4 >= 8) else 1
 
 
 def _pick_bk(sk: int, bk: Optional[int]) -> int:
@@ -735,15 +746,17 @@ _flash_nomask.defvjp(_flash_nomask_vjp_fwd, _flash_nomask_vjp_bwd)
 def _default_bq(sq: int, sk: int) -> int:
     """Forward q-block rows (v5e-tuned; RFTPU_FLASH_BQ sweeps it).
 
-    Large-square self-attention (ray tokens, 4096^2) measures fastest at
-    1024-row blocks combined with split=4 (95% of the matmul ideal vs
-    71% at the old 512/1 default — tools/cross_micro.py); everything
-    else keeps 512 (at cross shapes Sk~2k, 1024-row blocks REGRESS)."""
+    Large q sequences (ray tokens, sq>=4096) measure fastest at
+    1024-row blocks: 95% of the matmul ideal at 4096^2 self-attn with
+    split=4, and at the masked cross shape (Sk~2k) the round-5 sweep
+    moved the optimum from 512/4 to 1024 as well (H=6: 1.659 -> 1.531,
+    H=8: 2.509 -> 2.258 with split=8 — tools/cross_micro.py).  Short q
+    keeps 512."""
     import os
     env = os.environ.get('RFTPU_FLASH_BQ')
     if env is not None:
         return int(env)
-    return 1024 if (sq >= 4096 and sk >= 4096) else 512
+    return 1024 if sq >= 4096 else 512
 
 
 def flash_attention(q, k, v, mask=None,
@@ -764,7 +777,7 @@ def flash_attention(q, k, v, mask=None,
     bq = min(bq if bq is not None else _default_bq(sq, sk),
              _round_up(sq, 128))
     bk = _pick_bk(sk, bk)
-    split = _fwd_q_split(bq, bk, sk)
+    split = _fwd_q_split(bq, bk, sk, q.shape[2])
     if mask is None:
         return _flash_nomask(q, k, v, bq, bk, interpret, split)
     return _flash(q, k, v, mask, bq, bk, interpret, split)
@@ -1117,7 +1130,7 @@ def flash_attention_rope(q, k, v, mask, cosq, sinq, cosk, sink,
     bq = min(bq if bq is not None else _default_bq(sq, sk),
              _round_up(sq, 128))
     bk = _pick_bk(sk, bk)
-    split = _fwd_q_split(bq, bk, sk)
+    split = _fwd_q_split(bq, bk, sk, q.shape[2])
     # stop-gradient on the tables: positions are no-grad in the reference
     cosq = jax.lax.stop_gradient(cosq.astype(jnp.float32))
     sinq = jax.lax.stop_gradient(sinq.astype(jnp.float32))

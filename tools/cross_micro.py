@@ -23,8 +23,12 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
 
 from renderformer_tpu.ops import flash_attention as fa
 
-B, H, D = 8, 6, 128
-SQ, SK = 4096, 2064
+import os
+B = int(os.environ.get('CM_B', '8'))
+H = int(os.environ.get('CM_H', '6'))
+D = 128
+SQ = int(os.environ.get('CM_SQ', '4096'))
+SK = int(os.environ.get('CM_SK', '2064'))
 REPS = 16
 rng = np.random.default_rng(0)
 
@@ -75,8 +79,10 @@ def run(bq, split):
           f'({100*ideal/t:.0f}% of ideal)', flush=True)
 
 
-for bq in (512, 1024, 2048):
-    for split in (1, 2, 4):
+splits = [int(x) for x in os.environ.get('CM_SPLITS', '1,2,4').split(',')]
+bqs = [int(x) for x in os.environ.get('CM_BQS', '512,1024,2048').split(',')]
+for bq in bqs:
+    for split in splits:
         run(bq, split)
 
 # the ray SELF-attention shape with the same sweep (77% at split=1):
